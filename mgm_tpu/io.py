@@ -1,0 +1,95 @@
+"""Image I/O with the behavioural contract of the reference iio layer.
+
+The reference links a 6.2 kLoC C library (iio) whose job here is just:
+read any of PNG/JPEG/TIFF/PNM/PFM/NPY into planar float32, and write
+float images with the format chosen by extension
+(iio.c:5154 read, iio.c:5732 write).  Standard Python imaging libraries
+cover the same formats; we normalise everything to channel-last
+(H, W, C) float32 numpy arrays.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        if header not in (b"PF", b"Pf"):
+            raise ValueError(f"not a PFM file: {path}")
+        nch = 3 if header == b"PF" else 1
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        data = np.frombuffer(f.read(), dtype="<f4" if scale < 0 else ">f4")
+        img = data.reshape(h, w, nch).astype(np.float32)
+        # PFM scanlines are stored bottom-to-top
+        return img[::-1]
+
+
+def _write_pfm(path: str, img: np.ndarray) -> None:
+    if img.shape[2] not in (1, 3):
+        raise ValueError("PFM supports 1 or 3 channels")
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if img.shape[2] == 3 else b"Pf\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.ascontiguousarray(img[::-1], dtype="<f4").tobytes())
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an image as (H, W, C) float32."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        img = np.load(path)
+    elif ext == ".pfm":
+        img = _read_pfm(path)
+    else:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            if im.mode in ("I;16", "I;16B", "I;16L"):
+                im = im.convert("I")
+            img = np.asarray(im)
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    return img
+
+
+def write_image(path: str, img: np.ndarray) -> None:
+    """Write an (H, W[, C]) float array; format picked by extension.
+
+    Float-preserving formats: .tif/.tiff (float32 TIFF), .pfm, .npy.
+    .png/.jpg are quantised to uint8 (matching iio's behaviour of
+    casting floats for integer formats).
+    """
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        np.save(path, img)
+        return
+    if ext == ".pfm":
+        _write_pfm(path, img)
+        return
+    from PIL import Image
+
+    if ext in (".tif", ".tiff"):
+        if img.shape[2] == 1:
+            Image.fromarray(img[:, :, 0], mode="F").save(path)
+        else:
+            # multi-page float TIFF, one page per channel (split-plane
+            # semantics like iio_save_image_float_split)
+            pages = [Image.fromarray(img[:, :, c], mode="F") for c in range(img.shape[2])]
+            pages[0].save(path, save_all=True, append_images=pages[1:])
+        return
+    # integer formats: clip to [0, 255] like iio does for png/jpeg
+    q = np.clip(np.nan_to_num(img), 0, 255).astype(np.uint8)
+    if q.shape[2] == 1:
+        Image.fromarray(q[:, :, 0]).save(path)
+    else:
+        Image.fromarray(q).save(path)

@@ -1,0 +1,162 @@
+"""End-to-end stereo pipeline (the `mgm` binary's capability).
+
+Mirrors main() at mgm.cc:266-450:
+  scrub inputs -> per-pixel disparity windows -> P1/P2 *= nch ->
+  adaptive weights -> prefilter -> cost volume -> TSGM_ITER x
+  (solve -> refine -> tighten ranges) -> median -> LR check both ways ->
+  backflow.
+
+TPU-native twist: when the LR check is enabled, the left->right and
+right->left solves are *batched* through one aggregation (problem axis
+N=2), halving the sequential wavefront work.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MGMConfig
+from .ops import post
+from .ops.census import census_transform
+from .ops.cost import build_cost_volume
+from .ops.prefilter import apply_prefilter
+from .ops.refine import subpixel_refine
+from .ops.weights import compute_weights
+from .solver import mgm_solve
+
+
+def _preprocess(img: jnp.ndarray, cfg: MGMConfig):
+    if cfg.prefilter == "census":
+        return census_transform(img, cfg.census_ncc_win // 2)
+    return apply_prefilter(img, cfg.prefilter)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_weights", "L", "per_pixel"))
+def _pipeline(u, v, w8, lo_idx, hi_idx, flo, fhi, gmin, *,
+              cfg: MGMConfig, use_weights: bool, L: int, per_pixel: bool):
+    """The fully jitted pipeline.
+
+    u, v: (H, W, C) scrubbed input images.
+    w8: (N, H, W, 8) adaptive weights (N = 2 when the LR check is on).
+    lo_idx/hi_idx: (N, H, W) int32 recursion label windows (CC windows).
+    flo/fhi: (N, H, W) float disparity windows (update_dmin_dmax state).
+    gmin: (N,) int32 disparity of label 0 per problem.
+    """
+    H, W, C = u.shape
+    n_sides = lo_idx.shape[0]
+    up = _preprocess(u, cfg)
+    vp = _preprocess(v, cfg)
+    p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
+    p2 = cfg.p2 * C
+
+    ccs = [build_cost_volume(up, vp, lo_idx[0], hi_idx[0], gmin[0],
+                             distance=cfg.distance, L=L,
+                             trunc_dist=cfg.trunc_dist,
+                             ncc_win=cfg.census_ncc_win)]
+    if n_sides == 2:
+        ccs.append(build_cost_volume(vp, up, lo_idx[1], hi_idx[1], gmin[1],
+                                     distance=cfg.distance, L=L,
+                                     trunc_dist=cfg.trunc_dist,
+                                     ncc_win=cfg.census_ncc_win))
+    cc = jnp.stack(ccs)
+
+    s_lo, s_hi = lo_idx, hi_idx
+    disp = cost = None
+    for it in range(cfg.iterations):
+        S, disp, cost = mgm_solve(
+            cc, w8, lo_idx, hi_idx, s_lo, s_hi, gmin,
+            p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
+            use_fh=cfg.use_trunc_linear, use_weights=use_weights,
+            per_pixel=per_pixel, fix_overcount=cfg.fix_overcount)
+        disp, cost = subpixel_refine(S, disp, cost, s_lo, s_hi, gmin,
+                                     method=cfg.refinement)
+        if it + 1 < cfg.iterations:
+            flo, fhi, _, _ = post.update_dmin_dmax(disp, flo, fhi)
+            s_lo = jnp.clip(flo.astype(jnp.int32) - gmin[:, None, None], 0, L - 1)
+            s_hi = jnp.clip(fhi.astype(jnp.int32) - gmin[:, None, None], 0, L - 1)
+
+    disp = post.median_filter(disp, radius=cfg.median_radius)
+    disp_nolr = disp
+    if n_sides == 2 and cfg.test_lr:
+        tau = jnp.float32(cfg.lr_tau)
+        d_l = post.leftright_test(disp[0], disp[1], tau)
+        d_r = post.leftright_test(disp[1], disp[0], tau)
+        disp = jnp.stack([d_l, d_r])
+    back = post.backflow(disp[0], v, u)
+    return disp, cost, disp_nolr, back
+
+
+def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
+                      dmin_img: np.ndarray | None = None,
+                      dmax_img: np.ndarray | None = None) -> dict:
+    """Host entry point.  u, v: (H, W, C) float arrays.
+
+    Returns dict with 'disp', 'cost', 'disp_nolr', 'backflow' (left
+    side) and 'disp_right', 'cost_right' when the LR check ran.
+    """
+    u = np.nan_to_num(np.asarray(u, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
+    v = np.nan_to_num(np.asarray(v, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
+    H, W, C = u.shape
+
+    # per-pixel disparity windows (mgm.cc:338-353)
+    if dmin_img is not None:
+        flo = np.nan_to_num(np.asarray(dmin_img, np.float32).reshape(H, W),
+                            nan=cfg.dmin, posinf=cfg.dmin, neginf=cfg.dmin)
+        fhi = np.nan_to_num(np.asarray(dmax_img, np.float32).reshape(H, W),
+                            nan=cfg.dmax, posinf=cfg.dmax, neginf=cfg.dmax)
+        fhi = np.where(fhi < flo + 1, np.ceil(flo + 1), fhi)
+        per_pixel = True
+    else:
+        flo = np.full((H, W), cfg.dmin, np.float32)
+        fhi = np.full((H, W), cfg.dmax, np.float32)
+        per_pixel = False
+
+    lo_i = flo.astype(np.int32)  # Dvec init truncates toward zero
+    hi_i = fhi.astype(np.int32)
+    n_sides = 2 if cfg.test_lr else 1
+
+    # global label axis covering both sides, padded for TSGM_ITER growth
+    pad = 4 * max(cfg.iterations - 1, 0)
+    gmin_l, gmax_l = int(lo_i.min()) - pad, int(hi_i.max()) + pad
+    if n_sides == 2:
+        gmin_r, gmax_r = -cfg.dmax - pad, -cfg.dmin + pad
+        L = max(gmax_l - gmin_l, gmax_r - gmin_r) + 1
+        gmin = np.array([gmin_l, gmin_r], np.int32)
+    else:
+        L = gmax_l - gmin_l + 1
+        gmin = np.array([gmin_l], np.int32)
+
+    lo_idx = [lo_i - gmin_l]
+    hi_idx = [hi_i - gmin_l]
+    flo_s = [flo]
+    fhi_s = [fhi]
+    if n_sides == 2:
+        lo_idx.append(np.full((H, W), -cfg.dmax - gmin_r, np.int32))
+        hi_idx.append(np.full((H, W), -cfg.dmin - gmin_r, np.int32))
+        flo_s.append(np.full((H, W), -cfg.dmax, np.float32))
+        fhi_s.append(np.full((H, W), -cfg.dmin, np.float32))
+
+    w_u = compute_weights(jnp.asarray(u), cfg.a_p2, cfg.a_thresh)
+    w_v = compute_weights(jnp.asarray(v), cfg.a_p2, cfg.a_thresh)
+    w8 = jnp.stack([w_u, w_v][:n_sides])
+    use_weights = bool(jnp.any(w8 != 1.0))  # mgm_core.cc:420-423
+
+    disp, cost, disp_nolr, back = _pipeline(
+        jnp.asarray(u), jnp.asarray(v), w8,
+        jnp.asarray(np.stack(lo_idx)), jnp.asarray(np.stack(hi_idx)),
+        jnp.asarray(np.stack(flo_s)), jnp.asarray(np.stack(fhi_s)),
+        jnp.asarray(gmin),
+        cfg=cfg, use_weights=use_weights, L=int(L), per_pixel=per_pixel)
+
+    disp, cost, disp_nolr, back = jax.device_get((disp, cost, disp_nolr, back))
+    out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0],
+           "backflow": back}
+    if n_sides == 2:
+        out["disp_right"] = disp[1]
+        out["cost_right"] = cost[1]
+        out["disp_nolr_right"] = disp_nolr[1]
+    return out
