@@ -1,0 +1,21 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Unit tests verify numerics against the pure-numpy oracle (tests/oracle.py)
+and multi-device sharding against single-device runs; neither needs the
+real TPU chip, and CPU keeps the suite hermetic and parallel-safe.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
