@@ -46,6 +46,15 @@ def read_image(path: str) -> np.ndarray:
         img = np.load(path)
     elif ext == ".pfm":
         img = _read_pfm(path)
+    elif ext in (".tif", ".tiff"):
+        # float/multi-sample TIFFs (incl. those written by the reference's
+        # iio) exceed PIL's TIFF support; imageio handles them
+        import imageio.v3 as iio3
+
+        img = iio3.imread(path)
+        if img.ndim == 3 and img.shape[0] in (1, 2, 3, 4) \
+                and img.shape[0] < img.shape[2]:
+            img = np.moveaxis(img, 0, -1)  # multi-page planar -> HWC
     else:
         from PIL import Image
 
@@ -79,13 +88,9 @@ def write_image(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
     if ext in (".tif", ".tiff"):
-        if img.shape[2] == 1:
-            Image.fromarray(img[:, :, 0], mode="F").save(path)
-        else:
-            # multi-page float TIFF, one page per channel (split-plane
-            # semantics like iio_save_image_float_split)
-            pages = [Image.fromarray(img[:, :, c], mode="F") for c in range(img.shape[2])]
-            pages[0].save(path, save_all=True, append_images=pages[1:])
+        import imageio.v3 as iio3
+
+        iio3.imwrite(path, img[:, :, 0] if img.shape[2] == 1 else img)
         return
     # integer formats: clip to [0, 255] like iio does for png/jpeg
     q = np.clip(np.nan_to_num(img), 0, 255).astype(np.uint8)

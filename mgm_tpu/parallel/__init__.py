@@ -1,0 +1,1 @@
+from .shard import make_mesh, sharded_solve, solve_tiled

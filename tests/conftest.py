@@ -6,11 +6,18 @@ real TPU chip, and CPU keeps the suite hermetic and parallel-safe.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# jax may already be imported by the interpreter's startup hooks with the
+# TPU platform selected; the config update below still wins as long as no
+# backend has been initialised yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,109 @@
+"""End-to-end golden tests against the reference `mgm` binary.
+
+The reference (gfacciol/mgm) is built from the read-only mount into
+/tmp/mgm_ref and run on small crops of the bundled fountain23 pair; our
+pipeline must reproduce its disparity/cost outputs within float-ordering
+tolerance.  Skipped when the binary or data is unavailable.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mgm_tpu.config import MGMConfig
+from mgm_tpu.io import read_image, write_image
+from mgm_tpu.stereo import compute_disparity
+
+REF_BIN = "/tmp/mgm_ref/mgm"
+REF_DATA = "/tmp/mgm_ref/data"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(REF_BIN) and os.path.exists(REF_DATA)),
+    reason="reference binary not built (cp -r /root/reference /tmp/mgm_ref && make -C /tmp/mgm_ref)")
+
+
+@pytest.fixture(scope="module")
+def crop(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fountain")
+    u = read_image(f"{REF_DATA}/fountain23-imL.png")[200:264, 300:396]
+    v = read_image(f"{REF_DATA}/fountain23-imR.png")[200:264, 300:396]
+    write_image(str(d / "u.png"), u)
+    write_image(str(d / "v.png"), v)
+    return d, u, v
+
+
+def run_reference(d, args, env):
+    e = dict(os.environ)
+    e.update({k: str(v) for k, v in env.items()})
+    e.setdefault("TSGM_DEBUG", "0")
+    out, cost = str(d / "disp_ref.tif"), str(d / "cost_ref.tif")
+    subprocess.run([REF_BIN] + [str(a) for a in args] +
+                   [str(d / "u.png"), str(d / "v.png"), out, cost],
+                   check=True, env=e, capture_output=True)
+    return read_image(out)[..., 0], read_image(cost)[..., 0]
+
+
+def compare(d_ref, c_ref, d_got, c_got, disp_match=0.98, tol=0.125):
+    nan_agree = np.mean(np.isnan(d_ref) == np.isnan(d_got))
+    assert nan_agree >= 0.98, f"NaN masks agree only {nan_agree:.3%}"
+    both = ~(np.isnan(d_ref) | np.isnan(d_got))
+    # exact equality first: it covers +-inf pixels (the reference emits
+    # infinities when refinement reads -inf S cells at tight iter-2 windows)
+    with np.errstate(invalid="ignore"):
+        close = ((d_ref[both] == d_got[both]) |
+                 (np.abs(d_ref[both] - d_got[both]) <= tol))
+    assert np.mean(close) >= disp_match, \
+        f"disparity match {np.mean(close):.3%} < {disp_match:.0%}"
+    cb = np.isfinite(c_ref) & np.isfinite(c_got)
+    cd = np.abs(c_ref[cb] - c_got[cb]) / np.maximum(1.0, np.abs(c_ref[cb]))
+    assert np.quantile(cd, 0.98) <= 0.02, "matching costs diverge"
+
+
+CONFIGS = [
+    # (id, argv, env, MGMConfig kwargs)
+    ("ad_O4_sgm_nolr",
+     ["-r", -12, "-R", 4, "-O", 4, "-P1", 8, "-P2", 32],
+     {"TESTLRRL": 0, "TSGM": 2},
+     dict(dmin=-12, dmax=4, ndir=4, p1=8, p2=32, mgm=2, test_lr=False)),
+    ("ad_O8_mgm4_lr",
+     ["-r", -12, "-R", 4, "-O", 8],
+     {"TESTLRRL": 1, "TSGM": 4},
+     dict(dmin=-12, dmax=4, ndir=8, mgm=4, test_lr=True)),
+    ("census_tl_vfit_median",
+     ["-r", -12, "-R", 4, "-O", 8, "-P1", 2, "-P2", 20000, "-t", "census",
+      "-s", "vfit"],
+     {"TESTLRRL": 1, "TSGM": 3, "MEDIAN": 1,
+      "USE_TRUNCATED_LINEAR_POTENTIALS": 1},
+     dict(dmin=-12, dmax=4, ndir=8, p1=2, p2=20000, mgm=3, distance="census",
+          refinement="vfit", median_radius=1, use_trunc_linear=True,
+          test_lr=True)),
+    ("subpix_parabola_O2",
+     ["-r", -12, "-R", 4, "-O", 2, "-s", "parabola"],
+     {"TESTLRRL": 0, "TSGM": 2},
+     dict(dmin=-12, dmax=4, ndir=2, mgm=2, refinement="parabola",
+          test_lr=False)),
+    ("adaptive_weights",
+     ["-r", -12, "-R", 4, "-O", 4, "-aP2", 0.25, "-aThresh", 8],
+     {"TESTLRRL": 0, "TSGM": 4},
+     dict(dmin=-12, dmax=4, ndir=4, mgm=4, a_p2=0.25, a_thresh=8,
+          test_lr=False)),
+    ("truncdist_sobelx",
+     ["-r", -12, "-R", 4, "-O", 4, "-truncDist", 63, "-p", "sobelx"],
+     {"TESTLRRL": 0, "TSGM": 4},
+     dict(dmin=-12, dmax=4, ndir=4, mgm=4, trunc_dist=63, prefilter="sobelx",
+          test_lr=False)),
+    ("iterations2",
+     ["-r", -12, "-R", 4, "-O", 4, "-s", "vfit"],
+     {"TESTLRRL": 0, "TSGM": 4, "TSGM_ITER": 2},
+     dict(dmin=-12, dmax=4, ndir=4, mgm=4, refinement="vfit", iterations=2,
+          test_lr=False)),
+]
+
+
+@pytest.mark.parametrize("cid,args,env,kw", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_golden(crop, cid, args, env, kw):
+    d, u, v = crop
+    d_ref, c_ref = run_reference(d, args, env)
+    res = compute_disparity(u, v, MGMConfig(**kw))
+    compare(d_ref, c_ref, res["disp"], res["cost"])

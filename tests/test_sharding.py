@@ -1,0 +1,58 @@
+"""Multi-device partitioned run == single-device run, exactly.
+
+The determinism/equivalence tests that replace the reference's (absent)
+race detection story (SURVEY.md section 5): the same solve executed over
+a 1-, 2-, 4- and 8-device row-sharded mesh must produce bitwise-equal
+disparities and costs.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mgm_tpu.parallel import make_mesh, sharded_solve
+
+
+def make_problem(rng, N=2, H=16, W=12, L=8):
+    cc = jnp.asarray(rng.uniform(0, 50, (N, H, W, L)).astype(np.float32))
+    w8 = jnp.asarray(np.where(rng.random((N, H, W, 8)) < 0.5, 0.25, 1.0)
+                     .astype(np.float32))
+    lo = jnp.zeros((N, H, W), jnp.int32)
+    hi = jnp.full((N, H, W), L - 1, jnp.int32)
+    gmin = jnp.zeros((N,), jnp.int32)
+    return cc, w8, lo, hi, gmin
+
+
+def solve_on(n_dev, prob, **kw):
+    cc, w8, lo, hi, gmin = prob
+    mesh = make_mesh(n_dev)
+    S, disp, cost = sharded_solve(mesh, cc, w8, lo, hi, lo, hi, gmin, **kw)
+    return (np.asarray(S), np.asarray(disp), np.asarray(cost))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("use_fh", [False, True])
+def test_sharded_equals_single(rng, n_dev, use_fh):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    prob = make_problem(rng)
+    kw = dict(p1=8.0, p2=32.0, ndir=8, mgm=4, use_fh=use_fh,
+              use_weights=True)
+    S1, d1, c1 = solve_on(1, prob, **kw)
+    Sn, dn, cn = solve_on(n_dev, prob, **kw)
+    np.testing.assert_array_equal(d1, dn)
+    np.testing.assert_array_equal(c1, cn)
+    np.testing.assert_array_equal(S1, Sn)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import jax
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
