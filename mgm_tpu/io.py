@@ -1,17 +1,74 @@
 """Image I/O with the behavioural contract of the reference iio layer.
 
-The reference links a 6.2 kLoC C library (iio) whose job here is just:
+The reference links a 6.2 kLoC C library (iio) whose job here is:
 read any of PNG/JPEG/TIFF/PNM/PFM/NPY into planar float32, and write
 float images with the format chosen by extension
-(iio.c:5154 read, iio.c:5732 write).  Standard Python imaging libraries
-cover the same formats; we normalise everything to channel-last
-(H, W, C) float32 numpy arrays.
+(iio.c:5154 read, iio.c:5732 write).  The primary implementation is our
+native library (native/iio_lite.cc, bound via ctypes) -- format sniffed
+by magic number like iio's guess_format (iio.c:4743); Python imaging
+libraries are the fallback when the shared object isn't built.
+Everything is normalised to channel-last (H, W, C) float32 arrays.
 """
 from __future__ import annotations
 
+import ctypes
 import os
 
 import numpy as np
+
+_NATIVE = None
+
+
+def _native():
+    """Load native/libiio_lite.so once; None when unavailable."""
+    global _NATIVE
+    if _NATIVE is None:
+        path = os.path.join(os.path.dirname(__file__), os.pardir, "native",
+                            "libiio_lite.so")
+        try:
+            lib = ctypes.CDLL(os.path.abspath(path))
+            lib.iio_lite_read.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.iio_lite_write.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.iio_lite_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            _NATIVE = lib
+        except OSError:
+            _NATIVE = False
+    return _NATIVE or None
+
+
+def _native_read(path: str) -> np.ndarray | None:
+    lib = _native()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.iio_lite_read(path.encode(), ctypes.byref(buf), ctypes.byref(w),
+                         ctypes.byref(h), ctypes.byref(c)) != 0:
+        return None
+    try:
+        n = w.value * h.value * c.value
+        split = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+    finally:
+        lib.iio_lite_free(buf)
+    # split planes (c, h, w) -> (h, w, c)
+    return np.moveaxis(split.reshape(c.value, h.value, w.value), 0, -1)
+
+
+def _native_write(path: str, img: np.ndarray) -> bool:
+    lib = _native()
+    if lib is None:
+        return False
+    h, w, c = img.shape
+    split = np.ascontiguousarray(np.moveaxis(img, -1, 0), np.float32)
+    ptr = split.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    return lib.iio_lite_write(path.encode(), ptr, w, h, c) == 0
 
 
 def _read_pfm(path: str) -> np.ndarray:
@@ -42,6 +99,10 @@ def _write_pfm(path: str, img: np.ndarray) -> None:
 def read_image(path: str) -> np.ndarray:
     """Read an image as (H, W, C) float32."""
     ext = os.path.splitext(path)[1].lower()
+    if ext != ".npy":
+        native = _native_read(path)
+        if native is not None:
+            return np.asarray(native, np.float32)
     if ext == ".npy":
         img = np.load(path)
     elif ext == ".pfm":
@@ -81,6 +142,8 @@ def write_image(path: str, img: np.ndarray) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         np.save(path, img)
+        return
+    if ext in (".tif", ".tiff", ".pfm", ".png") and _native_write(path, img):
         return
     if ext == ".pfm":
         _write_pfm(path, img)

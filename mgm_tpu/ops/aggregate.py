@@ -161,14 +161,15 @@ def _fh_msg(Lk, mk, p1w, p2w, win_lo, win_hi):
     return M - mk
 
 
-def _pass_groups(ndir: int, mgm: int):
+def _pass_groups(ndir: int, mgm: int, homogeneous: bool = False):
     """Group passes runnable in one batched scan: same canonical shape
-    (row_major) and, when mgm < 4, same class so only active offsets
-    are computed."""
+    (row_major) and, when mgm < 4 or `homogeneous`, same class so the
+    dir->offset order is static."""
     groups = {}
     for p in range(ndir):
         spec = PASS_TABLE[p]
-        key = (spec.row_major, spec.diag if mgm < 4 else None)
+        key = (spec.row_major,
+               spec.diag if (mgm < 4 or homogeneous) else None)
         groups.setdefault(key, []).append(p)
     return list(groups.values())
 
@@ -302,11 +303,91 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
     return out
 
 
+def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
+                      use_weights, fh_restrict, interpret):
+    """One homogeneous pass group through the Pallas wavefront kernel
+    (ops/pallas_wavefront.py), chunked along the stacked pass x problem
+    axis so the working set fits VMEM.  Skew/unskew of the diagonal
+    buffers are Pallas copy kernels as well (see pallas_wavefront.py)."""
+    from . import pallas_wavefront as pw
+
+    specs = [PASS_TABLE[p] for p in pids]
+    B = len(specs)
+    N, H, W, L = cc.shape
+    rm = specs[0].row_major
+    R, C = (H, W) if rm else (W, H)
+    T = C + 2 * R - 2
+    d2o = (DIAG_DIR2OFF if specs[0].diag else AXIS_DIR2OFF)[:mgm]
+    barrier = jax.lax.optimization_barrier
+
+    cc_c = jnp.stack([to_canonical(cc, s, 1, 2) for s in specs])
+    cc_c = cc_c.reshape(B * N, R, C, L)
+
+    w_c = lo_c = hi_c = None
+    if use_weights:
+        wmaps = []
+        for s in specs:
+            chs = s.wch if not s.diag else s.wch[::-1]
+            wm = jnp.stack([to_canonical(w8[..., c], s, 1, 2) for c in chs],
+                           axis=1)
+            wmaps.append(wm)
+        w_c = jnp.stack(wmaps).reshape(B * N, 4, R, C)
+    if fh_restrict:
+        lo_c = jnp.stack([to_canonical(lo, s, 1, 2) for s in specs])
+        lo_c = lo_c.reshape(B * N, R, C)
+        hi_c = jnp.stack([to_canonical(hi, s, 1, 2) for s in specs])
+        hi_c = hi_c.reshape(B * N, R, C)
+
+    # chunk the stacked pass x problem axis: VMEM working set plus an
+    # HBM cap of ~2 GiB per skewed buffer (tile-padded (R, L) trailing
+    # dims) so big problems schedule chunk by chunk
+    lanes = -(-L // 128) * 128
+    rpad = -(-R // 8) * 8
+    hbm_cap = max(1, (2 << 30) // (T * rpad * lanes * 4))
+    m_max = next((m for m in (8, 4, 2, 1)
+                  if m <= hbm_cap and pw.vmem_fits(R, m, L)), 1)
+    parts = []
+    for s0 in range(0, B * N, m_max):
+        s1 = min(s0 + m_max, B * N)
+        # skew + wavefront-time-major transpose (fused by XLA into one
+        # copy); barriers keep the relayouts from fusing into consumers
+        cc_sk = barrier(jnp.transpose(skew(cc_c[s0:s1], INF, 1, 2),
+                                      (2, 0, 1, 3)))
+        w_sk = lo_sk = hi_sk = None
+        if use_weights:
+            w_sk = barrier(jnp.transpose(skew(w_c[s0:s1], 1.0, 2, 3),
+                                         (3, 0, 1, 2)))
+        if fh_restrict:
+            lo_sk = barrier(jnp.transpose(skew(lo_c[s0:s1], 0, 1, 2),
+                                          (2, 0, 1)))
+            hi_sk = barrier(jnp.transpose(skew(hi_c[s0:s1], -1, 1, 2),
+                                          (2, 0, 1)))
+        lr_sk = pw.wavefront_scan(
+            cc_sk, w_sk, lo_sk, hi_sk,
+            C=C, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, use_fh=use_fh,
+            use_weights=use_weights, fh_restrict=fh_restrict,
+            interpret=interpret)
+        lr_sk = barrier(jnp.transpose(lr_sk, (1, 2, 0, 3)))  # (M, R, T, L)
+        parts.append(barrier(unskew(lr_sk, C, 1, 2)))
+    lr = (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
+    lr = lr.reshape(B, N, R, C, L)
+    out = from_canonical(lr[0], specs[0], 1, 2)
+    for b in range(1, B):
+        out = out + from_canonical(lr[b], specs[b], 1, 2)
+    return out
+
+
+def _use_pallas() -> bool:
+    platform = jax.devices()[0].platform
+    return platform not in ("cpu",)
+
+
 @partial(jax.jit, static_argnames=("p1", "p2", "ndir", "mgm", "use_fh",
-                                   "use_weights", "fh_restrict"))
+                                   "use_weights", "fh_restrict", "backend"))
 def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
               ndir: int, mgm: int, use_fh: bool = False,
-              use_weights: bool = False, fh_restrict: bool = False):
+              use_weights: bool = False, fh_restrict: bool = False,
+              backend: str = "auto"):
     """Sum over the first `ndir` directional passes of the aggregated
     volumes Lr (before the S-window clip / overcount fix, which are
     applied by the solver).
@@ -316,7 +397,11 @@ def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
         mgm_weights.h:69) when use_weights.
     lo/hi: (N, H, W) int32 label windows, needed when fh_restrict
         (truncated-linear potential with per-pixel windows).
+    backend: "pallas" (TPU kernel), "xla" (lax.scan), "interpret"
+        (Pallas interpreter, for CPU tests), or "auto".
     """
+    if backend == "auto":
+        backend = "pallas" if _use_pallas() else "xla"
     # update_cost2 divides each of the 2 messages by 2 before summing
     # (mgm_core.cc:83-84); all other paths sum then divide.
     div_each = (mgm == 2) and (not use_weights) and (not use_fh)
@@ -325,9 +410,15 @@ def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
         # min-conv instead of the window-restricted one (mgm_core.cc:208)
         fh_restrict = not ((mgm == 2) and (not use_weights))
     out = None
-    for pids in _pass_groups(ndir, mgm):
-        part = _run_group(pids, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm,
-                          use_fh=use_fh, use_weights=use_weights,
-                          fh_restrict=fh_restrict, div_each=div_each)
+    for pids in _pass_groups(ndir, mgm, homogeneous=backend != "xla"):
+        if backend == "xla":
+            part = _run_group(pids, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm,
+                              use_fh=use_fh, use_weights=use_weights,
+                              fh_restrict=fh_restrict, div_each=div_each)
+        else:
+            part = _run_group_pallas(
+                pids, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm, use_fh=use_fh,
+                use_weights=use_weights, fh_restrict=fh_restrict,
+                interpret=backend == "interpret")
         out = part if out is None else out + part
     return out

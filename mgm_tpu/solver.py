@@ -39,9 +39,14 @@ def mgm_solve(cc, w8, lo, hi, s_lo, s_hi, gmin, *, p1: float, p2: float,
     disp: float disparities (label argmin + gmin); cost: the minima.
     """
     N, H, W, L = cc.shape
+    # the barriers keep the cost-volume producer and the WTA consumer
+    # from fusing into the wavefront scan (an XLA/TPU fusion-emitter
+    # assertion trips on the combined strided-window pattern)
+    cc = jax.lax.optimization_barrier(cc)
     lsum = aggregate(cc, w8, lo, hi, p1=p1, p2=p2, ndir=ndir, mgm=mgm,
                      use_fh=use_fh, use_weights=use_weights,
                      fh_restrict=use_fh and per_pixel)
+    lsum = jax.lax.optimization_barrier(lsum)
 
     in_cc = window_mask(lo, hi, L)
     in_s = window_mask(s_lo, s_hi, L)

@@ -1,0 +1,83 @@
+"""Pallas wavefront kernel (interpreter mode) == XLA lax.scan path.
+
+The TPU kernel streams skewed columns with VMEM-resident front history;
+these tests pin it to the already-oracle-verified XLA path on CPU via
+the Pallas interpreter across the configuration grid.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mgm_tpu.ops.aggregate import aggregate
+
+
+def make_problem(rng, N=2, H=9, W=11, L=6, per_pixel=False, weighted=False):
+    lo = np.zeros((N, H, W), np.int32)
+    hi = np.full((N, H, W), L - 1, np.int32)
+    if per_pixel:
+        lo = rng.integers(0, L - 2, (N, H, W)).astype(np.int32)
+        hi = (lo + rng.integers(1, L - 1, (N, H, W))).clip(max=L - 1).astype(np.int32)
+    cc = rng.uniform(0, 50, (N, H, W, L)).astype(np.float32)
+    l_idx = np.arange(L)
+    mask = (l_idx >= lo[..., None]) & (l_idx <= hi[..., None])
+    cc = np.where(mask, cc, np.inf).astype(np.float32)
+    w8 = None
+    if weighted:
+        w8 = jnp.asarray(np.where(rng.random((N, H, W, 8)) < 0.5, 0.25, 1.0)
+                         .astype(np.float32))
+    return jnp.asarray(cc), w8, jnp.asarray(lo), jnp.asarray(hi)
+
+
+def run_both(prob, **kw):
+    cc, w8, lo, hi = prob
+    a = aggregate(cc, w8, lo, hi, backend="xla", **kw)
+    b = aggregate(cc, w8, lo, hi, backend="interpret", **kw)
+    return np.asarray(a), np.asarray(b)
+
+
+def check_close(a, b):
+    fin = np.isfinite(a)
+    assert np.array_equal(fin, np.isfinite(b))
+    assert np.array_equal(np.sign(a[~fin]), np.sign(b[~fin]))
+    np.testing.assert_allclose(a[fin], b[fin], atol=2e-3, rtol=1e-6)
+
+
+@pytest.mark.parametrize("ndir", [1, 2, 4, 8])
+@pytest.mark.parametrize("mgm", [1, 2, 4])
+def test_sgm(rng, ndir, mgm):
+    prob = make_problem(rng)
+    a, b = run_both(prob, p1=8.0, p2=32.0, ndir=ndir, mgm=mgm)
+    check_close(a, b)
+
+
+@pytest.mark.parametrize("mgm", [2, 3, 4])
+def test_fh(rng, mgm):
+    prob = make_problem(rng)
+    a, b = run_both(prob, p1=5.0, p2=19.0, ndir=8, mgm=mgm, use_fh=True)
+    check_close(a, b)
+
+
+@pytest.mark.parametrize("use_fh", [False, True])
+def test_weighted(rng, use_fh):
+    prob = make_problem(rng, weighted=True)
+    a, b = run_both(prob, p1=8.0, p2=32.0, ndir=8, mgm=4, use_fh=use_fh,
+                    use_weights=True)
+    check_close(a, b)
+
+
+@pytest.mark.parametrize("use_fh", [False, True])
+def test_per_pixel(rng, use_fh):
+    prob = make_problem(rng, per_pixel=True)
+    a, b = run_both(prob, p1=8.0, p2=32.0, ndir=8, mgm=4, use_fh=use_fh,
+                    fh_restrict=use_fh)
+    check_close(a, b)
+
+
+def test_label_padding_is_noop(rng):
+    """L=6 pads to 128 lanes inside the kernel; padded labels must not
+    leak into real ones (verified implicitly above, explicitly here with
+    a big-P2 FH config whose min-conv spans the whole axis)."""
+    prob = make_problem(rng, L=6)
+    a, b = run_both(prob, p1=1.0, p2=1e6, ndir=4, mgm=2, use_fh=True)
+    check_close(a, b)
