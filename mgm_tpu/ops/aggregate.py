@@ -90,17 +90,20 @@ def from_canonical(a, spec: PassSpec, h_axis: int, w_axis: int):
     return a
 
 
-def skew(a, fill, r_axis: int, c_axis: int):
+def skew(a, fill, r_axis: int, c_axis: int, t_round: int = 1):
     """Skew rows: out[..., r, 2r+c, ...] = a[..., r, c, ...].
 
     Output column count T = C + 2R - 2 (the number of non-empty
-    wavefronts).  Implemented as pad+reshape: zero gathers.
+    wavefronts), rounded up to a multiple of `t_round` with fill-valued
+    columns (the wavefront kernel consumes fixed-depth front blocks).
+    Implemented as pad+reshape: zero gathers.
     Requires c_axis == r_axis + 1.
     """
     assert c_axis == r_axis + 1
     shp = a.shape
     R, C = shp[r_axis], shp[c_axis]
     T = C + 2 * R - 2
+    T = -(-T // t_round) * t_round
     pad = [(0, 0)] * a.ndim
     pad[c_axis] = (0, T + 2 - C)
     a = jnp.pad(a, pad, constant_values=fill)
@@ -338,33 +341,38 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
         hi_c = jnp.stack([to_canonical(hi, s, 1, 2) for s in specs])
         hi_c = hi_c.reshape(B * N, R, C)
 
-    # chunk the stacked pass x problem axis: VMEM working set plus an
-    # HBM cap of ~2 GiB per skewed buffer (tile-padded (R, L) trailing
-    # dims) so big problems schedule chunk by chunk
+    # block depth G (fronts per kernel step) and chunk size of the
+    # stacked pass x problem axis from the VMEM budget, plus an HBM cap
+    # of ~2 GiB per skewed buffer so big problems schedule chunk by chunk
+    G, m_vmem = pw.pick_block(R, L)
+    if interpret:
+        # the interpreter pays per-front graph size, not per-step DMA;
+        # G=2 still exercises both the in-block and cross-block paths
+        G = min(G, 2)
     lanes = -(-L // 128) * 128
     rpad = -(-R // 8) * 8
-    hbm_cap = max(1, (2 << 30) // (T * rpad * lanes * 4))
-    m_max = next((m for m in (8, 4, 2, 1)
-                  if m <= hbm_cap and pw.vmem_fits(R, m, L)), 1)
+    t_pad = -(-T // G) * G
+    hbm_cap = max(1, (2 << 30) // (t_pad * rpad * lanes * 4))
+    m_max = min(m_vmem, hbm_cap)
     parts = []
     for s0 in range(0, B * N, m_max):
         s1 = min(s0 + m_max, B * N)
         # skew + wavefront-time-major transpose (fused by XLA into one
         # copy); barriers keep the relayouts from fusing into consumers
-        cc_sk = barrier(jnp.transpose(skew(cc_c[s0:s1], INF, 1, 2),
+        cc_sk = barrier(jnp.transpose(skew(cc_c[s0:s1], INF, 1, 2, G),
                                       (2, 0, 1, 3)))
         w_sk = lo_sk = hi_sk = None
         if use_weights:
-            w_sk = barrier(jnp.transpose(skew(w_c[s0:s1], 1.0, 2, 3),
+            w_sk = barrier(jnp.transpose(skew(w_c[s0:s1], 1.0, 2, 3, G),
                                          (3, 0, 1, 2)))
         if fh_restrict:
-            lo_sk = barrier(jnp.transpose(skew(lo_c[s0:s1], 0, 1, 2),
+            lo_sk = barrier(jnp.transpose(skew(lo_c[s0:s1], 0, 1, 2, G),
                                           (2, 0, 1)))
-            hi_sk = barrier(jnp.transpose(skew(hi_c[s0:s1], -1, 1, 2),
+            hi_sk = barrier(jnp.transpose(skew(hi_c[s0:s1], -1, 1, 2, G),
                                           (2, 0, 1)))
         lr_sk = pw.wavefront_scan(
             cc_sk, w_sk, lo_sk, hi_sk,
-            C=C, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, use_fh=use_fh,
+            C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, use_fh=use_fh,
             use_weights=use_weights, fh_restrict=fh_restrict,
             interpret=interpret)
         lr_sk = barrier(jnp.transpose(lr_sk, (1, 2, 0, 3)))  # (M, R, T, L)

@@ -75,27 +75,12 @@ def _fh_msg(Lk, mk, p1w, p2w, win):
     return M - mk
 
 
-def _kernel(*refs, C, R, p1, p2, mgm, dir2off, use_fh, use_weights,
-            fh_restrict):
-    it = iter(refs)
-    cc_ref = next(it)
-    w_ref = next(it) if use_weights else None
-    lo_ref = next(it) if fh_restrict else None
-    hi_ref = next(it) if fh_restrict else None
-    out_ref, prev_ref, mins_ref = it
-
-    t = pl.program_id(0)
-    cc_t = cc_ref[0]                             # (M, R, L)
+def _front_update(cc_t, hist, t, *, C, R, p1, p2, mgm, dir2off, use_fh,
+                  use_weights, w_t, win):
+    """One wavefront update.  hist = [(front, mins)] for t-1, t-2, t-3;
+    returns (new_front, new_mins)."""
     M, _, L = cc_t.shape
-
-    s1 = jax.lax.rem(t + 2, 3)                   # slot of front t-1
-    s2 = jax.lax.rem(t + 1, 3)                   # slot of front t-2
-    s3 = jax.lax.rem(t, 3)                       # slot of front t-3 (rewritten)
-
-    f1, m1 = prev_ref[s1], mins_ref[s1]          # (M, R, L), (M, R)
-    f2, m2 = prev_ref[s2], mins_ref[s2]
-    f3, m3 = prev_ref[s3], mins_ref[s3]
-
+    (f1, m1), (f2, m2), (f3, m3) = hist
     # offset index -> (front, min): 0=W, 1=N, 2=NW, 3=NE
     neigh = {
         0: (f1, m1),
@@ -103,21 +88,12 @@ def _kernel(*refs, C, R, p1, p2, mgm, dir2off, use_fh, use_weights,
         2: (_row_shift(f3, INF, 1), _row_shift(m3, INF, 1)),
         3: (_row_shift(f1, INF, 1), _row_shift(m1, INF, 1)),
     }
-
-    win = None
-    if fh_restrict:
-        lo_t = lo_ref[0]                         # (M, R) int32
-        hi_t = hi_ref[0]
-        lab = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 2)
-        win = (lab >= lo_t[:, :, None]) & (lab <= hi_t[:, :, None])
-
-    offsets = sorted(set(dir2off))
     msgs = {}
-    for off in offsets:
+    for off in sorted(set(dir2off)):
         Lk, mk = neigh[off]
         mk_ = mk[:, :, None]
         if use_weights:
-            d = w_ref[0, :, off, :][:, :, None]  # (M, R, 1)
+            d = w_t[:, off, :][:, :, None]       # (M, R, 1)
             p1w, p2w = d * p1, d * p2
         else:
             p1w, p2w = p1, p2
@@ -140,43 +116,78 @@ def _kernel(*refs, C, R, p1, p2, mgm, dir2off, use_fh, use_weights,
     ii = t - 2 * jj
     interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
     new = jnp.where(interior, cc_t + e, cc_t)
-
-    out_ref[0] = new
-    prev_ref[s3] = new
-    mins_ref[s3] = jnp.min(new, axis=-1)
+    return new, jnp.min(new, axis=-1)
 
 
-def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, p1, p2, mgm, dir2off,
+def _kernel(*refs, C, R, G, p1, p2, mgm, dir2off, use_fh, use_weights,
+            fh_restrict):
+    """One grid step processes G consecutive wavefronts.  Within the
+    block, fronts chain through in-VMEM values; only the last three are
+    carried across grid steps in scratch slots 0/1/2 (slot k = front
+    base-1-k), so every memory access has a static address."""
+    it = iter(refs)
+    cc_ref = next(it)
+    w_ref = next(it) if use_weights else None
+    lo_ref = next(it) if fh_restrict else None
+    hi_ref = next(it) if fh_restrict else None
+    out_ref, prev_ref, mins_ref = it
+
+    base = pl.program_id(0) * G
+    hist = [(prev_ref[0], mins_ref[0]),
+            (prev_ref[1], mins_ref[1]),
+            (prev_ref[2], mins_ref[2])]
+    M, _, L = cc_ref.shape[1:]
+    for u in range(G):
+        win = None
+        if fh_restrict:
+            lo_t = lo_ref[u]                     # (M, R) int32
+            hi_t = hi_ref[u]
+            lab = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 2)
+            win = (lab >= lo_t[:, :, None]) & (lab <= hi_t[:, :, None])
+        new, mins = _front_update(
+            cc_ref[u], hist, base + u, C=C, R=R, p1=p1, p2=p2, mgm=mgm,
+            dir2off=dir2off, use_fh=use_fh, use_weights=use_weights,
+            w_t=w_ref[u] if use_weights else None, win=win)
+        out_ref[u] = new
+        hist = [(new, mins), hist[0], hist[1]]
+    for k in range(3):
+        prev_ref[k] = hist[k][0]
+        mins_ref[k] = hist[k][1]
+
+
+def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
                    use_fh, use_weights, fh_restrict, interpret=False):
     """Run the wavefront recursion over a skewed volume.
 
-    cc_sk: (T, M, R, L) skewed canonical costs (wavefront-time-major).
+    cc_sk: (T, M, R, L) skewed canonical costs (wavefront-time-major),
+        T a multiple of the block depth G.
     w_sk: (T, M, 4, R) per-offset weights or None.
     lo_sk/hi_sk: (T, M, R) int32 label windows or None.
     Returns the aggregated skewed volume, same shape as cc_sk.
     """
     T, M, R, L = cc_sk.shape
+    assert T % G == 0
     kernel = functools.partial(
-        _kernel, C=C, R=R, p1=float(p1), p2=float(p2), mgm=mgm,
+        _kernel, C=C, R=R, G=G, p1=float(p1), p2=float(p2), mgm=mgm,
         dir2off=tuple(dir2off), use_fh=use_fh, use_weights=use_weights,
         fh_restrict=fh_restrict)
     args = [cc_sk]
-    in_specs = [pl.BlockSpec((1, M, R, L), lambda t: (t, 0, 0, 0),
+    in_specs = [pl.BlockSpec((G, M, R, L), lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     if use_weights:
         args.append(w_sk)
-        in_specs.append(pl.BlockSpec((1, M, 4, R), lambda t: (t, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((G, M, 4, R), lambda t: (t, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
     if fh_restrict:
         args += [lo_sk, hi_sk]
-        in_specs += [pl.BlockSpec((1, M, R), lambda t: (t, 0, 0),
+        in_specs += [pl.BlockSpec((G, M, R), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
     flops_step = M * R * L * (20 if not use_fh else 24 + 8 * L.bit_length())
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, M, R, L), lambda t: (t, 0, 0, 0),
+        out_specs=pl.BlockSpec((G, M, R, L), lambda t: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, M, R, L), jnp.float32),
         scratch_shapes=[
@@ -192,10 +203,16 @@ def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, p1, p2, mgm, dir2off,
     )(*args)
 
 
-def vmem_fits(R: int, M: int, L: int) -> bool:
-    """Whether the wavefront working set fits VMEM: ~13 live block-sized
-    buffers (3 resident fronts, double-buffered in/out, intermediates),
-    with the trailing (R, L) dims padded to the (8, 128) tile."""
+def pick_block(R: int, L: int):
+    """(G, m_max): wavefront block depth and the largest pass-x-problem
+    chunk whose working set fits VMEM.  Budget: double-buffered in+out
+    blocks (4 G-deep buffers) + 3 resident fronts + ~12 block-sized
+    intermediates, trailing (R, L) dims padded to the (8, 128) tile."""
     lanes = -(-L // 128) * 128
     subl = -(-R // 8) * 8
-    return 13 * M * subl * lanes * 4 <= VMEM_LIMIT
+    per_m = subl * lanes * 4
+    for G in (8, 4, 2, 1):
+        for M in (8, 4, 2, 1):
+            if (4 * G + 15) * M * per_m <= VMEM_LIMIT:
+                return G, M
+    return 1, 1

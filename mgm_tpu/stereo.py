@@ -1,18 +1,22 @@
 """End-to-end stereo pipeline (the `mgm` binary's capability).
 
-Mirrors main() at mgm.cc:266-450:
+Mirrors main() at mgm.cc:266-450 of gfacciol/mgm:
   scrub inputs -> per-pixel disparity windows -> P1/P2 *= nch ->
   adaptive weights -> prefilter -> cost volume -> TSGM_ITER x
   (solve -> refine -> tighten ranges) -> median -> LR check both ways ->
   backflow.
 
-TPU-native twist: when the LR check is enabled, the left->right and
-right->left solves are *batched* through one aggregation (problem axis
-N=2), halving the sequential wavefront work.
+TPU-native twists:
+  - when the LR check is enabled, the left->right and right->left
+    solves are *batched* through one aggregation (problem axis N=2),
+    halving the sequential wavefront work;
+  - the pipeline is staged into a few separately-jitted programs
+    (cost volume + solve / refine + post) rather than one monolith:
+    the directional recursion runs as Pallas kernels, and keeping the
+    XLA programs around them small keeps compile times sane.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -35,24 +39,12 @@ def _preprocess(img: jnp.ndarray, cfg: MGMConfig):
     return apply_prefilter(img, cfg.prefilter)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_weights", "L", "per_pixel"))
-def _pipeline(u, v, w8, lo_idx, hi_idx, flo, fhi, gmin, *,
-              cfg: MGMConfig, use_weights: bool, L: int, per_pixel: bool):
-    """The fully jitted pipeline.
-
-    u, v: (H, W, C) scrubbed input images.
-    w8: (N, H, W, 8) adaptive weights (N = 2 when the LR check is on).
-    lo_idx/hi_idx: (N, H, W) int32 recursion label windows (CC windows).
-    flo/fhi: (N, H, W) float disparity windows (update_dmin_dmax state).
-    gmin: (N,) int32 disparity of label 0 per problem.
-    """
-    H, W, C = u.shape
-    n_sides = lo_idx.shape[0]
+@partial(jax.jit, static_argnames=("cfg", "L", "n_sides"))
+def _build_volumes(u, v, lo_idx, hi_idx, gmin, *, cfg: MGMConfig, L: int,
+                   n_sides: int):
+    """Preprocess both images and build the (N, H, W, L) cost volumes."""
     up = _preprocess(u, cfg)
     vp = _preprocess(v, cfg)
-    p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
-    p2 = cfg.p2 * C
-
     ccs = [build_cost_volume(up, vp, lo_idx[0], hi_idx[0], gmin[0],
                              distance=cfg.distance, L=L,
                              trunc_dist=cfg.trunc_dist,
@@ -62,32 +54,33 @@ def _pipeline(u, v, w8, lo_idx, hi_idx, flo, fhi, gmin, *,
                                      distance=cfg.distance, L=L,
                                      trunc_dist=cfg.trunc_dist,
                                      ncc_win=cfg.census_ncc_win))
-    cc = jnp.stack(ccs)
+    return jnp.stack(ccs)
 
-    s_lo, s_hi = lo_idx, hi_idx
-    disp = cost = None
-    for it in range(cfg.iterations):
-        S, disp, cost = mgm_solve(
-            cc, w8, lo_idx, hi_idx, s_lo, s_hi, gmin,
-            p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
-            use_fh=cfg.use_trunc_linear, use_weights=use_weights,
-            per_pixel=per_pixel, fix_overcount=cfg.fix_overcount)
-        disp, cost = subpixel_refine(S, disp, cost, s_lo, s_hi, gmin,
-                                     method=cfg.refinement)
-        if it + 1 < cfg.iterations:
-            flo, fhi, _, _ = post.update_dmin_dmax(disp, flo, fhi)
-            s_lo = jnp.clip(flo.astype(jnp.int32) - gmin[:, None, None], 0, L - 1)
-            s_hi = jnp.clip(fhi.astype(jnp.int32) - gmin[:, None, None], 0, L - 1)
 
-    disp = post.median_filter(disp, radius=cfg.median_radius)
+@partial(jax.jit, static_argnames=("method",))
+def _refine(S, disp, cost, s_lo, s_hi, gmin, *, method):
+    return subpixel_refine(S, disp, cost, s_lo, s_hi, gmin, method=method)
+
+
+@jax.jit
+def _tighten(disp, flo, fhi, gmin, L):
+    """update_dmin_dmax between iterations -> new S windows."""
+    flo, fhi, _, _ = post.update_dmin_dmax(disp, flo, fhi)
+    s_lo = jnp.clip(flo.astype(jnp.int32) - gmin[:, None, None], 0, L - 1)
+    s_hi = jnp.clip(fhi.astype(jnp.int32) - gmin[:, None, None], 0, L - 1)
+    return flo, fhi, s_lo, s_hi
+
+
+@partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides"))
+def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides):
+    disp = post.median_filter(disp, radius=median_radius)
     disp_nolr = disp
-    if n_sides == 2 and cfg.test_lr:
-        tau = jnp.float32(cfg.lr_tau)
-        d_l = post.leftright_test(disp[0], disp[1], tau)
-        d_r = post.leftright_test(disp[1], disp[0], tau)
+    if n_sides == 2 and test_lr:
+        d_l = post.leftright_test(disp[0], disp[1], lr_tau)
+        d_r = post.leftright_test(disp[1], disp[0], lr_tau)
         disp = jnp.stack([d_l, d_r])
     back = post.backflow(disp[0], v, u)
-    return disp, cost, disp_nolr, back
+    return disp, disp_nolr, back
 
 
 def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
@@ -145,12 +138,35 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     w8 = jnp.stack([w_u, w_v][:n_sides])
     use_weights = bool(jnp.any(w8 != 1.0))  # mgm_core.cc:420-423
 
-    disp, cost, disp_nolr, back = _pipeline(
-        jnp.asarray(u), jnp.asarray(v), w8,
-        jnp.asarray(np.stack(lo_idx)), jnp.asarray(np.stack(hi_idx)),
-        jnp.asarray(np.stack(flo_s)), jnp.asarray(np.stack(fhi_s)),
-        jnp.asarray(gmin),
-        cfg=cfg, use_weights=use_weights, L=int(L), per_pixel=per_pixel)
+    lo_idx = jnp.asarray(np.stack(lo_idx))
+    hi_idx = jnp.asarray(np.stack(hi_idx))
+    flo_j = jnp.asarray(np.stack(flo_s))
+    fhi_j = jnp.asarray(np.stack(fhi_s))
+    gmin_j = jnp.asarray(gmin)
+    p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
+    p2 = cfg.p2 * C
+
+    cc = _build_volumes(jnp.asarray(u), jnp.asarray(v), lo_idx, hi_idx,
+                        gmin_j, cfg=cfg, L=int(L), n_sides=n_sides)
+
+    s_lo, s_hi = lo_idx, hi_idx
+    disp = cost = None
+    for it in range(cfg.iterations):
+        S, disp, cost = mgm_solve(
+            cc, w8 if use_weights else None, lo_idx, hi_idx, s_lo, s_hi,
+            gmin_j, p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
+            use_fh=cfg.use_trunc_linear, use_weights=use_weights,
+            per_pixel=per_pixel, fix_overcount=cfg.fix_overcount)
+        disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
+                             method=cfg.refinement)
+        if it + 1 < cfg.iterations:
+            flo_j, fhi_j, s_lo, s_hi = _tighten(disp, flo_j, fhi_j, gmin_j,
+                                                L)
+
+    disp, disp_nolr, back = _postprocess(
+        disp, jnp.asarray(u), jnp.asarray(v), jnp.float32(cfg.lr_tau),
+        median_radius=cfg.median_radius, test_lr=cfg.test_lr,
+        n_sides=n_sides)
 
     disp, cost, disp_nolr, back = jax.device_get((disp, cost, disp_nolr, back))
     out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0],
