@@ -8,6 +8,15 @@ truncated-linear potentials and adaptive edge weights, subpixel
 refinement, median / left-right-consistency post-processing, and a
 generic grid-MRF solver API.
 """
+import os as _os
+
+# persistent compilation cache: the TPU toolchain's compile times are
+# high-variance (remote compile service); caching makes every config
+# compile at most once per machine.  Override with JAX_COMPILATION_CACHE_DIR.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/mgm_tpu_xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 from .config import MGMConfig
 from .stereo import compute_disparity
 from .mrf import solve_mrf

@@ -34,7 +34,8 @@ Usage: mgm [options] in_u in_v out_disp
 Options:
  -r {-30}          Minimum horizontal disparity value.
  -R {30}           Maximum horizontal disparity value.
- -O {4}            Number of search directions: 1..8.
+ -O {4}            Number of search directions: 1..16
+                   (the reference crashes above 8; 9..16 work here).
  -P1 {8}           SGM regularization parameter P1.
  -P2 {32}          SGM regularization parameter P2.
  -p {none}         Prefilter: none, census, sobelx, gblur.
@@ -94,12 +95,9 @@ def main(argv=None) -> int:
     f_back = argv[4] if len(argv) > 4 else None
 
     ndir = int(float(opts["O"]))
-    if ndir > 8:
-        # the reference advertises 16 but crashes (mgm_core.cc:463-489);
-        # we support the full documented+working range and clamp the rest
-        print(f"NDIR={ndir} unsupported (reference segfaults >8); using 8",
-              file=sys.stderr)
-        ndir = 8
+    if ndir > 16:
+        print(f"NDIR={ndir} unsupported; using 16", file=sys.stderr)
+        ndir = 16
 
     cfg = MGMConfig(
         dmin=int(float(opts["r"])), dmax=int(float(opts["R"])),
@@ -117,6 +115,7 @@ def main(argv=None) -> int:
         median_radius=int(env_float("MEDIAN", 0)),
         test_lr=bool(env_float("TESTLRRL", 1)),
         lr_tau=env_float("TESTLRRL_TAU", 1.0),
+        debug=bool(env_float("TSGM_DEBUG", 0)),
     )
 
     u = read_image(f_u)

@@ -50,7 +50,9 @@ class MGMConfig:
     dmin: int = -30
     dmax: int = 30
     # number of scan directions (CLI -O, mgm.cc:307). The reference
-    # advertises 16 but segfaults for NDIR>8; we support 1..8.
+    # advertises 16 but segfaults for NDIR>8 (its pass table stops at 8,
+    # mgm_core.cc:463-474); we support the full 1..16 (9..16 are the
+    # 22.5-degree knight-move passes).
     ndir: int = 4
     # regularisation (CLI -P1/-P2, scaled by nch inside the pipeline
     # as at mgm.cc:356-357)
@@ -83,6 +85,8 @@ class MGMConfig:
     # left-right consistency check (env TESTLRRL / TESTLRRL_TAU)
     test_lr: bool = True
     lr_tau: float = 1.0
+    # energy audit per iteration (env TSGM_DEBUG, mgm.cc:27)
+    debug: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "distance", resolve_distance(self.distance))
@@ -93,8 +97,8 @@ class MGMConfig:
         if self.distance == "census" or self.prefilter == "census":
             object.__setattr__(self, "distance", "census")
             object.__setattr__(self, "prefilter", "census")
-        if not (1 <= self.ndir <= 8):
-            raise ValueError(f"ndir must be in 1..8, got {self.ndir}")
+        if not (1 <= self.ndir <= 16):
+            raise ValueError(f"ndir must be in 1..16, got {self.ndir}")
         if self.mgm not in (1, 2, 3, 4):
             raise ValueError(f"mgm (TSGM) must be in 1..4, got {self.mgm}")
 

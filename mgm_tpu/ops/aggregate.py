@@ -47,9 +47,16 @@ class PassSpec:
     flip_y: bool        # inc_y == 0
     diag: bool          # 45-degree pass: canonical dir order is reversed
     wch: tuple          # weight channels for dir1..dir4 (mgm_core.cc:481-484)
+    knight: bool = False  # 22.5-degree pass (main dir a knight move)
 
 
-# Canonicalised reference pass table (mgm_core.cc:463-471).
+# Canonicalised reference pass table (mgm_core.cc:463-471), extended
+# with the eight 22.5-degree passes the reference advertises via -O 16
+# but crashes on (its table stops at 8, mgm_core.cc:473-474,489).
+# Knight passes use canonical causal dirs (dir1..dir4) =
+# [(-2,-1), (0,-1), (-1,-1), (-1,0)] of scan space; weight channels are
+# the 8-neighbour channel with the same sign pattern (the weight image
+# has no 22.5-degree planes).
 PASS_TABLE = (
     PassSpec(True, False, False, False, (0, 3, 4, 5)),   # W->E
     PassSpec(True, True, True, False, (1, 2, 6, 7)),     # E->W
@@ -59,15 +66,25 @@ PASS_TABLE = (
     PassSpec(False, True, True, True, (5, 6, 1, 2)),     # diag NE
     PassSpec(True, False, True, True, (6, 7, 2, 0)),     # diag SE
     PassSpec(False, False, False, True, (7, 4, 0, 3)),   # diag SW
+    PassSpec(True, False, False, False, (4, 3, 4, 0), True),   # (-2,-1)
+    PassSpec(True, True, True, False, (6, 2, 6, 1), True),     # (2,1)
+    PassSpec(True, True, False, False, (5, 3, 5, 1), True),    # (2,-1)
+    PassSpec(True, False, True, False, (7, 2, 7, 0), True),    # (-2,1)
+    PassSpec(False, False, False, False, (4, 0, 4, 3), True),  # (-1,-2)
+    PassSpec(False, True, True, False, (6, 1, 6, 2), True),    # (1,2)
+    PassSpec(False, True, False, False, (5, 1, 5, 3), True),   # (1,-2)
+    PassSpec(False, False, True, False, (7, 0, 7, 2), True),   # (-1,2)
 )
 
 # stack order of the canonical causal offsets
-#   W  = (ii-1, jj)   -> skewed (jj,   t-1)
-#   N  = (ii,   jj-1) -> skewed (jj-1, t-2)
-#   NW = (ii-1, jj-1) -> skewed (jj-1, t-3)
-#   NE = (ii+1, jj-1) -> skewed (jj-1, t-1)
-AXIS_DIR2OFF = (0, 1, 2, 3)   # dir k -> offset index, axis passes
-DIAG_DIR2OFF = (3, 2, 1, 0)   # dir k -> offset index, diagonal passes
+#   W   = (ii-1, jj)   -> skewed (jj,   t-1)
+#   N   = (ii,   jj-1) -> skewed (jj-1, t-2)
+#   NW  = (ii-1, jj-1) -> skewed (jj-1, t-3)
+#   NE  = (ii+1, jj-1) -> skewed (jj-1, t-1)
+#   WWN = (ii-2, jj-1) -> skewed (jj-1, t-4)   (knight passes)
+AXIS_DIR2OFF = (0, 1, 2, 3)     # dir k -> offset index, axis passes
+DIAG_DIR2OFF = (3, 2, 1, 0)     # dir k -> offset index, diagonal passes
+KNIGHT_DIR2OFF = (4, 1, 2, 0)   # dir k -> offset index, knight passes
 
 
 def to_canonical(a, spec: PassSpec, h_axis: int, w_axis: int):
@@ -164,15 +181,25 @@ def _fh_msg(Lk, mk, p1w, p2w, win_lo, win_hi):
     return M - mk
 
 
+def _dir2off(spec: PassSpec):
+    if spec.knight:
+        return KNIGHT_DIR2OFF
+    return DIAG_DIR2OFF if spec.diag else AXIS_DIR2OFF
+
+
 def _pass_groups(ndir: int, mgm: int, homogeneous: bool = False):
     """Group passes runnable in one batched scan: same canonical shape
     (row_major) and, when mgm < 4 or `homogeneous`, same class so the
-    dir->offset order is static."""
+    dir->offset order is static.  Knight passes always group alone
+    (their offset set and border differ)."""
     groups = {}
     for p in range(ndir):
         spec = PASS_TABLE[p]
-        key = (spec.row_major,
-               spec.diag if (mgm < 4 or homogeneous) else None)
+        if spec.knight:
+            key = (spec.row_major, "knight")
+        else:
+            key = (spec.row_major,
+                   spec.diag if (mgm < 4 or homogeneous) else None)
         groups.setdefault(key, []).append(p)
     return list(groups.values())
 
@@ -191,6 +218,7 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
     R, C = (H, W) if rm else (W, H)
     T = C + 2 * R - 2
 
+    knight = specs[0].knight
     mixed = len({s.diag for s in specs}) > 1
     if mixed:
         # mgm == 4 here: every offset is active; per-pass dir order is
@@ -200,8 +228,7 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
         diag_flags = jnp.asarray([s.diag for s in specs], bool)
         diag_mask = jnp.repeat(diag_flags, N).reshape(B * N, 1, 1)
     else:
-        d2o = DIAG_DIR2OFF if specs[0].diag else AXIS_DIR2OFF
-        dir2off = d2o[:mgm]
+        dir2off = _dir2off(specs[0])[:mgm]
         offsets = sorted(set(dir2off))
         diag_mask = None
 
@@ -215,12 +242,19 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
     if use_weights:
         wmaps = []
         for s in specs:
-            chs = s.wch if not s.diag else s.wch[::-1]  # offset order
+            if mixed:
+                chs = s.wch if not s.diag else s.wch[::-1]  # offset order
+            else:
+                # channel at index `off` for each active offset; inactive
+                # slots reuse channel 0 (never read)
+                off2ch = {dir2off[k]: s.wch[k] for k in range(mgm)}
+                chs = [off2ch.get(o, s.wch[0]) for o in range(5 if knight
+                                                              else 4)]
             wm = jnp.stack([to_canonical(w8[..., c], s, 1, 2) for c in chs],
-                           axis=1)                      # (N, 4, R, C)
+                           axis=1)                      # (N, nch, R, C)
             wmaps.append(wm)
-        w_c = jnp.stack(wmaps).reshape(B * N, 4, R, C)
-        w_sk = skew(w_c, 1.0, 2, 3)                     # (BN, 4, R, T)
+        w_c = jnp.stack(wmaps).reshape(B * N, -1, R, C)
+        w_sk = skew(w_c, 1.0, 2, 3)                     # (BN, nch, R, T)
 
     lo_sk = hi_sk = None
     if fh_restrict:
@@ -240,17 +274,20 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
         lr, mins = carry
         front = lambda dt: jnp.maximum(t - dt, 0)
         cc_t = jax.lax.dynamic_slice_in_dim(lr, front(0), 1, axis=2)[:, :, 0]
-        f = [jax.lax.dynamic_slice_in_dim(lr, front(d), 1, axis=2)[:, :, 0]
-             for d in (1, 2, 3)]
-        m = [jax.lax.dynamic_slice_in_dim(mins, front(d), 1, axis=2)[:, :, 0]
-             for d in (1, 2, 3)]
-        # offset index -> (front values, mins): W, N, NW, NE
+        depth = (1, 2, 3, 4) if knight else (1, 2, 3)
+        f = {d: jax.lax.dynamic_slice_in_dim(lr, front(d), 1, axis=2)[:, :, 0]
+             for d in depth}
+        m = {d: jax.lax.dynamic_slice_in_dim(mins, front(d), 1, axis=2)[:, :, 0]
+             for d in depth}
+        # offset index -> (front values, mins): W, N, NW, NE[, WWN]
         neigh = {
-            0: (f[0], m[0]),
-            1: (rsh(f[1]), rsh(m[1])),
-            2: (rsh(f[2]), rsh(m[2])),
-            3: (rsh(f[0]), rsh(m[0])),
+            0: (f[1], m[1]),
+            1: (rsh(f[2]), rsh(m[2])),
+            2: (rsh(f[3]), rsh(m[3])),
+            3: (rsh(f[1]), rsh(m[1])),
         }
+        if knight:
+            neigh[4] = (rsh(f[4]), rsh(m[4]))
         if use_weights:
             w_t = jax.lax.dynamic_slice_in_dim(w_sk, front(0), 1, axis=3)[..., 0]
         if fh_restrict:
@@ -289,7 +326,10 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
                 e = e / jnp.float32(mgm)
 
         ii = t - 2 * jj
-        interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
+        if knight:
+            interior = (jj >= 1) & (ii >= 2) & (ii <= C - 1)
+        else:
+            interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
         new = jnp.where(interior[None, :, None], cc_t + e, cc_t)
         lr = jax.lax.dynamic_update_slice_in_dim(lr, new[:, :, None], t, axis=2)
         mins = jax.lax.dynamic_update_slice_in_dim(
@@ -310,17 +350,19 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
                       use_weights, fh_restrict, interpret):
     """One homogeneous pass group through the Pallas wavefront kernel
     (ops/pallas_wavefront.py), chunked along the stacked pass x problem
-    axis so the working set fits VMEM.  Skew/unskew of the diagonal
-    buffers are Pallas copy kernels as well (see pallas_wavefront.py)."""
+    axis so the working set fits VMEM.  The skewed volumes keep their
+    natural (M, R, T, L) layout; only the small weight/window side
+    inputs are transposed."""
     from . import pallas_wavefront as pw
 
     specs = [PASS_TABLE[p] for p in pids]
     B = len(specs)
     N, H, W, L = cc.shape
     rm = specs[0].row_major
+    knight = specs[0].knight
     R, C = (H, W) if rm else (W, H)
-    T = C + 2 * R - 2
-    d2o = (DIAG_DIR2OFF if specs[0].diag else AXIS_DIR2OFF)[:mgm]
+    d2o = _dir2off(specs[0])[:mgm]
+    offs = sorted(set(d2o))
     barrier = jax.lax.optimization_barrier
 
     cc_c = jnp.stack([to_canonical(cc, s, 1, 2) for s in specs])
@@ -330,53 +372,51 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
     if use_weights:
         wmaps = []
         for s in specs:
-            chs = s.wch if not s.diag else s.wch[::-1]
+            # channel per offset rank: offset o is dir k with d2o[k] == o
+            chs = [s.wch[d2o.index(o)] for o in offs]
             wm = jnp.stack([to_canonical(w8[..., c], s, 1, 2) for c in chs],
                            axis=1)
             wmaps.append(wm)
-        w_c = jnp.stack(wmaps).reshape(B * N, 4, R, C)
+        # (n_off, B*N, R, C): offset-rank outer, pass x problem inner
+        w_c = jnp.stack(wmaps).reshape(B * N, len(offs), R, C)
+        w_c = jnp.swapaxes(w_c, 0, 1)
     if fh_restrict:
         lo_c = jnp.stack([to_canonical(lo, s, 1, 2) for s in specs])
         lo_c = lo_c.reshape(B * N, R, C)
         hi_c = jnp.stack([to_canonical(hi, s, 1, 2) for s in specs])
         hi_c = hi_c.reshape(B * N, R, C)
 
-    # block depth G (fronts per kernel step) and chunk size of the
-    # stacked pass x problem axis from the VMEM budget, plus an HBM cap
-    # of ~2 GiB per skewed buffer so big problems schedule chunk by chunk
+    # chunk size: VMEM working set plus an HBM cap of ~2 GiB per skewed
+    # buffer (tile-padded trailing dims) so big problems schedule
+    # chunk by chunk
     G, m_vmem = pw.pick_block(R, L)
     if interpret:
         # the interpreter pays per-front graph size, not per-step DMA;
         # G=2 still exercises both the in-block and cross-block paths
         G = min(G, 2)
-    lanes = -(-L // 128) * 128
-    rpad = -(-R // 8) * 8
+    T = C + 2 * R - 2
     t_pad = -(-T // G) * G
-    hbm_cap = max(1, (2 << 30) // (t_pad * rpad * lanes * 4))
+    lanes = -(-L // 128) * 128
+    hbm_cap = max(1, (2 << 30) // (R * t_pad * lanes * 4))
     m_max = min(m_vmem, hbm_cap)
     parts = []
     for s0 in range(0, B * N, m_max):
         s1 = min(s0 + m_max, B * N)
-        # skew + wavefront-time-major transpose (fused by XLA into one
-        # copy); barriers keep the relayouts from fusing into consumers
-        cc_sk = barrier(jnp.transpose(skew(cc_c[s0:s1], INF, 1, 2, G),
-                                      (2, 0, 1, 3)))
+        M = s1 - s0
+        cc_sk = pw.skew_p(cc_c[s0:s1], INF, G, interpret)    # (M, R, T, L)
         w_sk = lo_sk = hi_sk = None
         if use_weights:
-            w_sk = barrier(jnp.transpose(skew(w_c[s0:s1], 1.0, 2, 3, G),
-                                         (3, 0, 1, 2)))
+            wm = w_c[:, s0:s1].reshape(len(offs) * M, R, C, 1)
+            w_sk = pw.skew_p(wm, 1.0, G, interpret)          # (nof*M, R, T, 1)
         if fh_restrict:
-            lo_sk = barrier(jnp.transpose(skew(lo_c[s0:s1], 0, 1, 2, G),
-                                          (2, 0, 1)))
-            hi_sk = barrier(jnp.transpose(skew(hi_c[s0:s1], -1, 1, 2, G),
-                                          (2, 0, 1)))
+            lo_sk = pw.skew_p(lo_c[s0:s1, ..., None], 0, G, interpret)
+            hi_sk = pw.skew_p(hi_c[s0:s1, ..., None], -1, G, interpret)
         lr_sk = pw.wavefront_scan(
             cc_sk, w_sk, lo_sk, hi_sk,
-            C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, use_fh=use_fh,
-            use_weights=use_weights, fh_restrict=fh_restrict,
+            C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, knight=knight,
+            use_fh=use_fh, use_weights=use_weights, fh_restrict=fh_restrict,
             interpret=interpret)
-        lr_sk = barrier(jnp.transpose(lr_sk, (1, 2, 0, 3)))  # (M, R, T, L)
-        parts.append(barrier(unskew(lr_sk, C, 1, 2)))
+        parts.append(pw.unskew_p(lr_sk, C, interpret))
     lr = (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
     lr = lr.reshape(B, N, R, C, L)
     out = from_canonical(lr[0], specs[0], 1, 2)

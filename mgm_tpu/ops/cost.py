@@ -26,9 +26,29 @@ def window_mask(lo, hi, L):
     return (l_idx >= lo[..., None]) & (l_idx <= hi[..., None])
 
 
-def _gather_cols(a, qx):
-    """a: (H, W, C); qx: (W, L) int -> (H, W, L, C) = a[:, qx, :]."""
-    return a[:, jnp.clip(qx, 0, a.shape[1] - 1), :]
+def _pad_cols(a, gmin: int, L: int):
+    """Edge-pad columns so every disparity d = gmin..gmin+L-1 becomes a
+    static slice a_pad[:, x + d - gmin].  Edge padding equals the
+    index clamp the gather-based formulation used; out-of-image labels
+    are masked to trunc_dist by the builder anyway.  Static slices
+    instead of a (H, W, L, C) gather: TPU gathers are pathologically
+    slow, slices fuse into the elementwise cost math."""
+    left = max(0, -gmin)
+    right = max(0, gmin + L - 1)
+    return jnp.pad(a, [(0, 0), (left, right), (0, 0)], mode="edge"), left
+
+
+def _shifted(a_pad, left: int, gmin: int, l: int, W: int):
+    """Column slice of the padded image for label l (disparity gmin+l)."""
+    return jax.lax.dynamic_slice_in_dim(a_pad, left + gmin + l, W, axis=1)
+
+
+def _per_label(u, v, gmin: int, L: int, fn):
+    """Stack fn(u, v_shifted_by_label) over labels -> (H, W, L)."""
+    H, W, C = v.shape
+    v_pad, left = _pad_cols(v, gmin, L)
+    cols = [fn(u, _shifted(v_pad, left, gmin, l, W)) for l in range(L)]
+    return jnp.stack(cols, axis=-1)
 
 
 def _bt_aux(a):
@@ -54,46 +74,82 @@ def _box(a, hw):
     return out
 
 
-def pointwise_costs(u, v, qx, distance: str, ncc_win: int):
+def _pointwise_pallas(u, v, gmin: int, L: int, distance: str, interpret):
+    """Pallas cost kernel path (ad/sd/census/bt); returns (H, W, L)."""
+    from .pallas_cost import pointwise_volume
+
+    H, W, C = u.shape
+    if distance in ("btad", "btsd"):
+        umin, umax = _bt_aux(u)
+        vmin, vmax = _bt_aux(v)
+        u = jnp.concatenate([u, umin, umax], -1)
+        v = jnp.concatenate([v, vmin, vmax], -1)
+    v_pad, left = _pad_cols(v, gmin, L)
+    u_t = jnp.transpose(u, (1, 2, 0))            # (W, Ck, H)
+    v_t = jnp.transpose(v_pad, (1, 2, 0))        # (Wp, Ck, H)
+    vol = pointwise_volume(u_t, v_t, mode=distance, C=C, W=W, L=L,
+                           left=left, gmin=gmin, interpret=interpret)
+    return jnp.transpose(vol, (2, 1, 0))         # (H, W, L)
+
+
+def pointwise_costs(u, v, gmin: int, L: int, distance: str, ncc_win: int,
+                    backend: str = "auto"):
     """Raw per-(pixel,label) matching costs, before truncation/masking.
 
     u, v: (H, W, C) preprocessed images (uint32 census codes for
-    'census').  qx: (W, L) target column per (x, l).  Returns (H, W, L).
+    'census').  Label l matches column x + gmin + l.  Returns (H, W, L).
     """
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform != "cpu"
+                   else "xla")
+    if backend != "xla" and distance != "ncc":
+        return _pointwise_pallas(u, v, gmin, L, distance,
+                                 interpret=backend == "interpret")
     if distance == "census":
-        cu = u[:, :, None, :]                       # (H, W, 1, nw)
-        cv = _gather_cols(v, qx)                    # (H, W, L, nw)
-        ham = jnp.sum(jax.lax.population_count(cu ^ cv), axis=-1)
-        return ham.astype(jnp.float32) * jnp.float32(1.0 / u.shape[2])
+        inv_nw = jnp.float32(1.0 / u.shape[2])
+
+        def ham(cu, cv_sh):
+            x = jnp.sum(jax.lax.population_count(cu ^ cv_sh), axis=-1)
+            return x.astype(jnp.float32) * inv_nw
+
+        return _per_label(u, v, gmin, L, ham)
 
     if distance in ("ad", "sd"):
-        diff = jnp.abs(u[:, :, None, :] - _gather_cols(v, qx))
-        if distance == "sd":
-            diff = diff * diff
-        return jnp.sum(diff, axis=-1)
+        def diff(a, b_sh):
+            d = jnp.abs(a - b_sh)
+            if distance == "sd":
+                d = d * d
+            return jnp.sum(d, axis=-1)
+
+        return _per_label(u, v, gmin, L, diff)
 
     if distance in ("btad", "btsd"):
         umin, umax = _bt_aux(u)
         vmin, vmax = _bt_aux(v)
-        IL = u[:, :, None, :]
-        IR = _gather_cols(v, qx)
-        vmin_g, vmax_g = _gather_cols(vmin, qx), _gather_cols(vmax, qx)
-        umin_b, umax_b = umin[:, :, None, :], umax[:, :, None, :]
+        H, W, C = v.shape
+        v3_pad, left = _pad_cols(jnp.concatenate([v, vmin, vmax], -1),
+                                 gmin, L)
         zero = jnp.float32(0)
-        dLR = -fmin3(zero, -(IL - vmax_g), -(vmin_g - IL))
-        dRL = -fmin3(zero, -(IR - umax_b), -(umin_b - IR))
-        bt = jnp.abs(jnp.minimum(dLR, dRL))
-        if distance == "btsd":
-            bt = bt * bt
-        return jnp.sum(bt, axis=-1)
+
+        def bt_cost(l):
+            sh = _shifted(v3_pad, left, gmin, l, W)
+            IR, vmin_g, vmax_g = sh[..., :C], sh[..., C:2 * C], sh[..., 2 * C:]
+            dLR = -fmin3(zero, -(u - vmax_g), -(vmin_g - u))
+            dRL = -fmin3(zero, -(IR - umax), -(umin - IR))
+            bt = jnp.abs(jnp.minimum(dLR, dRL))
+            if distance == "btsd":
+                bt = bt * bt
+            return jnp.sum(bt, axis=-1)
+
+        return jnp.stack([bt_cost(l) for l in range(L)], axis=-1)
 
     if distance == "ncc":
-        return _ncc_costs(u, v, qx, ncc_win)
+        return _ncc_costs(u, v, gmin, L, ncc_win)
 
     raise ValueError(f"unknown distance {distance}")
 
 
-def _ncc_costs(u, v, qx, win):
+def _ncc_costs(u, v, gmin, L, win):
     """Clipped NCC x64 (mgm_costvolume.h:137-165); windows touching the
     image border are +inf (valnan semantics)."""
     H, W, C = u.shape
@@ -102,20 +158,20 @@ def _ncc_costs(u, v, qx, win):
     x = jnp.arange(W)
     p_ok = (x >= hw) & (x < W - hw)
     if H <= 2 * hw:
-        return jnp.full((H, W, qx.shape[1]), INF, jnp.float32)
+        return jnp.full((H, W, L), INF, jnp.float32)
     y_ok = (jnp.arange(H) >= hw) & (jnp.arange(H) < H - hw)
     mu1 = _box(u, hw) / n
     s1 = _box(u * u, hw) / n
     mu2 = _box(v, hw) / n
     s2 = _box(v * v, hw) / n
     var1 = s1 - mu1 * mu1
+    vms_pad, left = _pad_cols(jnp.concatenate([v, mu2, s2], -1), gmin, L)
 
-    def per_label(qx_col):
-        # qx_col: (W,) target columns for this label
+    def per_label(l):
+        qx_col = x + (gmin + l)
         q_ok = (qx_col >= hw) & (qx_col < W - hw)
-        vg = v[:, jnp.clip(qx_col, 0, W - 1), :]
-        mu2g = mu2[:, jnp.clip(qx_col, 0, W - 1), :]
-        s2g = s2[:, jnp.clip(qx_col, 0, W - 1), :]
+        sh = _shifted(vms_pad, left, gmin, l, W)
+        vg, mu2g, s2g = sh[..., :C], sh[..., C:2 * C], sh[..., 2 * C:]
         prod = _box(u * vg, hw) / n
         denom = jnp.sqrt(jnp.maximum(jnp.float32(1e-7),
                                      var1 * (s2g - mu2g * mu2g)))
@@ -124,17 +180,18 @@ def _ncc_costs(u, v, qx, win):
         ok = p_ok[None, :] & q_ok[None, :] & y_ok[:, None]
         return jnp.where(ok, clipped, INF)
 
-    costs = jax.lax.map(per_label, qx.T)  # (L, H, W)
-    return jnp.moveaxis(costs, 0, -1)
+    return jnp.stack([per_label(l) for l in range(L)], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("distance", "L", "trunc_dist", "ncc_win"))
-def build_cost_volume(u, v, lo, hi, gmin, *, distance: str, L: int,
-                      trunc_dist: float, ncc_win: int = 3):
+@partial(jax.jit, static_argnames=("gmin", "distance", "L", "trunc_dist",
+                                   "ncc_win", "backend"))
+def build_cost_volume(u, v, lo, hi, gmin: int, *, distance: str, L: int,
+                      trunc_dist: float, ncc_win: int = 3,
+                      backend: str = "auto"):
     """Dense (H, W, L) cost volume.
 
     u, v: preprocessed images (H, W, C); lo/hi: (H, W) int32 label
-    windows; gmin: scalar int, disparity of label 0.
+    windows; gmin: static int, disparity of label 0.
     """
     H, W, C = u.shape
     tmax = jnp.float32(trunc_dist * C)
@@ -142,7 +199,7 @@ def build_cost_volume(u, v, lo, hi, gmin, *, distance: str, L: int,
     qx = jnp.arange(W, dtype=jnp.int32)[:, None] + d[None, :]   # (W, L)
     valid_q = (qx >= 0) & (qx < W)
 
-    e = pointwise_costs(u, v, qx, distance, ncc_win)
+    e = pointwise_costs(u, v, gmin, L, distance, ncc_win, backend)
     e = jnp.where(valid_q[None], e, tmax)
     e = jnp.minimum(e, tmax)
 

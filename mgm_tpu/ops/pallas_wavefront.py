@@ -1,25 +1,26 @@
 """Pallas TPU kernel for the MGM directional wavefront recursion.
 
 One `pallas_call` runs a whole canonical-orientation pass group: the
-grid is the wavefront time axis t = ii + 2*jj (T = C + 2R - 2 steps,
-mgm_core.cc:505-511 of gfacciol/mgm); each step streams one skewed
-front (M, R, L) of the cost volume HBM->VMEM, computes the
-1/2/4-message min-plus update fully vectorised over (rows x labels),
-and keeps the previous three fronts plus their per-pixel minima
-resident in VMEM scratch (the "couple of line buffers" the reference
-notes it could use, mgm_core.cc:486).
+grid walks the wavefront time axis t = ii + 2*jj (T = C + 2R - 2 steps,
+mgm_core.cc:505-511 of gfacciol/mgm) in blocks of G consecutive fronts;
+each step streams a (M, R, G, L) slab of the skewed cost volume
+HBM->VMEM, chains the G fronts through in-VMEM values (1/2/4-message
+min-plus updates fully vectorised over rows x labels), and carries only
+the last D fronts plus their per-pixel minima across grid steps in
+VMEM scratch with static addressing (the "couple of line buffers" the
+reference notes it could use, mgm_core.cc:486).
 
-Data layout: skewed volumes are wavefront-time-major, (T, M, R, L) with
-blocks (1, M, R, L), so the trailing (rows, labels) dims are whole (the
-Mosaic block-shape rule) and HBM tile padding stays minimal.  The
-weight and label-window side inputs are passed only when the config
-uses them - placeholder arrays would pay real HBM.
+Layout: the skewed volume keeps its natural (M, R, T, L) form - with
+G a multiple of 8 the block (M, R, G, L) satisfies the Mosaic
+block-shape rule directly, so no relayout transposes are needed (they
+were 25x the kernel's own cost).  Side inputs are passed only when the
+config uses them.
 
 Canonical causal offsets (see ops/aggregate.py):
-    W  -> front t-1, same row        NE -> front t-1, row above
-    N  -> front t-2, row above       NW -> front t-3, row above
-so three front slots of history suffice; slot (t mod 3) is rewritten
-with the new front after its t-3 value has been consumed.
+    0 W   -> front t-1, same row     3 NE  -> front t-1, row above
+    1 N   -> front t-2, row above    4 WWN -> front t-4, row above
+    2 NW  -> front t-3, row above          (knight passes, -O 16)
+History depth D = 4 for knight groups, else 3.
 """
 from __future__ import annotations
 
@@ -34,7 +35,54 @@ INF = float("inf")
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB VMEM per core
 
 
-def _row_shift(x, fill, axis):
+def _skew_kernel(x_ref, o_ref, *, C, fill):
+    r = pl.program_id(0)
+    o_ref[:, 0] = jnp.full_like(o_ref[:, 0], fill)
+    o_ref[:, 0, pl.ds(2 * r, C), :] = x_ref[:, 0]
+
+
+def skew_p(x, fill, t_round: int = 1, interpret=False):
+    """(A, R, C, B) -> (A, R, T, B) with out[:, r, 2r+c] = x[:, r, c],
+    fill elsewhere; T = C + 2R - 2 rounded up to `t_round`.  A Pallas
+    copy kernel: XLA's pad+reshape lowering of the same diagonal
+    relayout runs ~25x slower than the wavefront kernel it feeds."""
+    A, R, C, B = x.shape
+    T = -(-(C + 2 * R - 2) // t_round) * t_round
+    return pl.pallas_call(
+        functools.partial(_skew_kernel, C=C, fill=fill),
+        grid=(R,),
+        in_specs=[pl.BlockSpec((A, 1, C, B), lambda r: (0, r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((A, 1, T, B), lambda r: (0, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, R, T, B), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(x)
+
+
+def _unskew_kernel(x_ref, o_ref, *, C):
+    r = pl.program_id(0)
+    o_ref[:, 0] = x_ref[:, 0, pl.ds(2 * r, C), :]
+
+
+def unskew_p(y, C: int, interpret=False):
+    """(A, R, T, B) -> (A, R, C, B), inverse of `skew_p`."""
+    A, R, T, B = y.shape
+    return pl.pallas_call(
+        functools.partial(_unskew_kernel, C=C),
+        grid=(R,),
+        in_specs=[pl.BlockSpec((A, 1, T, B), lambda r: (0, r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((A, 1, C, B), lambda r: (0, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, R, C, B), y.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(y)
+
+
+def _row_shift(x, fill, axis=0):
     """x shifted by +1 along `axis` (row jj reads jj-1); first row = fill."""
     r = pltpu.roll(x, shift=1, axis=axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
@@ -75,25 +123,26 @@ def _fh_msg(Lk, mk, p1w, p2w, win):
     return M - mk
 
 
-def _front_update(cc_t, hist, t, *, C, R, p1, p2, mgm, dir2off, use_fh,
-                  use_weights, w_t, win):
-    """One wavefront update.  hist = [(front, mins)] for t-1, t-2, t-3;
-    returns (new_front, new_mins)."""
-    M, _, L = cc_t.shape
-    (f1, m1), (f2, m2), (f3, m3) = hist
-    # offset index -> (front, min): 0=W, 1=N, 2=NW, 3=NE
+def _front_update(cc_t, hist, t, *, C, p1, p2, mgm, dir2off, offs, knight,
+                  use_fh, use_weights, w_t, win):
+    """One wavefront update.  cc_t: (M, R, L); hist: [(front, mins)] for
+    t-1 .. t-D; w_t: per-offset-rank (M, R) weights."""
+    M, R, L = cc_t.shape
     neigh = {
-        0: (f1, m1),
-        1: (_row_shift(f2, INF, 1), _row_shift(m2, INF, 1)),
-        2: (_row_shift(f3, INF, 1), _row_shift(m3, INF, 1)),
-        3: (_row_shift(f1, INF, 1), _row_shift(m1, INF, 1)),
+        0: hist[0],
+        1: (_row_shift(hist[1][0], INF, 1), _row_shift(hist[1][1], INF, 1)),
+        2: (_row_shift(hist[2][0], INF, 1), _row_shift(hist[2][1], INF, 1)),
+        3: (_row_shift(hist[0][0], INF, 1), _row_shift(hist[0][1], INF, 1)),
     }
+    if knight:
+        neigh[4] = (_row_shift(hist[3][0], INF, 1),
+                    _row_shift(hist[3][1], INF, 1))
     msgs = {}
-    for off in sorted(set(dir2off)):
+    for rank, off in enumerate(offs):
         Lk, mk = neigh[off]
         mk_ = mk[:, :, None]
         if use_weights:
-            d = w_t[:, off, :][:, :, None]       # (M, R, 1)
+            d = w_t[rank * M:(rank + 1) * M][:, :, None]  # (M, R, 1)
             p1w, p2w = d * p1, d * p2
         else:
             p1w, p2w = p1, p2
@@ -114,17 +163,19 @@ def _front_update(cc_t, hist, t, *, C, R, p1, p2, mgm, dir2off, use_fh,
 
     jj = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 1)
     ii = t - 2 * jj
-    interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
+    if knight:
+        # no +x offset; the main dir reaches 2 columns left
+        interior = (jj >= 1) & (ii >= 2) & (ii <= C - 1)
+    else:
+        interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
     new = jnp.where(interior, cc_t + e, cc_t)
     return new, jnp.min(new, axis=-1)
 
 
-def _kernel(*refs, C, R, G, p1, p2, mgm, dir2off, use_fh, use_weights,
-            fh_restrict):
-    """One grid step processes G consecutive wavefronts.  Within the
-    block, fronts chain through in-VMEM values; only the last three are
-    carried across grid steps in scratch slots 0/1/2 (slot k = front
-    base-1-k), so every memory access has a static address."""
+def _kernel(*refs, C, G, D, p1, p2, mgm, dir2off, offs, knight, use_fh,
+            use_weights, fh_restrict):
+    """One grid step = G consecutive wavefronts.  Scratch slot k holds
+    front base-1-k on entry; every access is statically addressed."""
     it = iter(refs)
     cc_ref = next(it)
     w_ref = next(it) if use_weights else None
@@ -133,66 +184,70 @@ def _kernel(*refs, C, R, G, p1, p2, mgm, dir2off, use_fh, use_weights,
     out_ref, prev_ref, mins_ref = it
 
     base = pl.program_id(0) * G
-    hist = [(prev_ref[0], mins_ref[0]),
-            (prev_ref[1], mins_ref[1]),
-            (prev_ref[2], mins_ref[2])]
-    M, _, L = cc_ref.shape[1:]
+    hist = [(prev_ref[k], mins_ref[k]) for k in range(D)]
+    M, R, _, L = cc_ref.shape
     for u in range(G):
         win = None
         if fh_restrict:
-            lo_t = lo_ref[u]                     # (M, R) int32
-            hi_t = hi_ref[u]
+            lo_t = lo_ref[:, :, u, 0]            # (M, R) int32
+            hi_t = hi_ref[:, :, u, 0]
             lab = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 2)
             win = (lab >= lo_t[:, :, None]) & (lab <= hi_t[:, :, None])
         new, mins = _front_update(
-            cc_ref[u], hist, base + u, C=C, R=R, p1=p1, p2=p2, mgm=mgm,
-            dir2off=dir2off, use_fh=use_fh, use_weights=use_weights,
-            w_t=w_ref[u] if use_weights else None, win=win)
-        out_ref[u] = new
-        hist = [(new, mins), hist[0], hist[1]]
-    for k in range(3):
+            cc_ref[:, :, u, :], hist, base + u, C=C, p1=p1, p2=p2, mgm=mgm,
+            dir2off=dir2off, offs=offs, knight=knight, use_fh=use_fh,
+            use_weights=use_weights,
+            w_t=w_ref[:, :, u, 0] if use_weights else None, win=win)
+        out_ref[:, :, u, :] = new
+        hist = [(new, mins)] + hist[:-1]
+    for k in range(D):
         prev_ref[k] = hist[k][0]
         mins_ref[k] = hist[k][1]
 
 
 def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
-                   use_fh, use_weights, fh_restrict, interpret=False):
+                   knight=False, use_fh=False, use_weights=False,
+                   fh_restrict=False, interpret=False):
     """Run the wavefront recursion over a skewed volume.
 
-    cc_sk: (T, M, R, L) skewed canonical costs (wavefront-time-major),
-        T a multiple of the block depth G.
-    w_sk: (T, M, 4, R) per-offset weights or None.
-    lo_sk/hi_sk: (T, M, R) int32 label windows or None.
+    cc_sk: (M, R, T, L) skewed canonical costs, T a multiple of G.
+    w_sk: (n_off*M, R, T, 1) per-offset-rank weights or None.
+    lo_sk/hi_sk: (M, R, T, 1) int32 label windows or None.
+    dir2off: offset id per coupled dir (length mgm).
     Returns the aggregated skewed volume, same shape as cc_sk.
     """
-    T, M, R, L = cc_sk.shape
+    M, R, T, L = cc_sk.shape
     assert T % G == 0
+    offs = tuple(sorted(set(dir2off)))
+    D = 4 if knight else 3
     kernel = functools.partial(
-        _kernel, C=C, R=R, G=G, p1=float(p1), p2=float(p2), mgm=mgm,
-        dir2off=tuple(dir2off), use_fh=use_fh, use_weights=use_weights,
-        fh_restrict=fh_restrict)
+        _kernel, C=C, G=G, D=D, p1=float(p1), p2=float(p2), mgm=mgm,
+        dir2off=tuple(dir2off), offs=offs, knight=knight, use_fh=use_fh,
+        use_weights=use_weights, fh_restrict=fh_restrict)
     args = [cc_sk]
-    in_specs = [pl.BlockSpec((G, M, R, L), lambda t: (t, 0, 0, 0),
+    in_specs = [pl.BlockSpec((M, R, G, L), lambda t: (0, 0, t, 0),
                              memory_space=pltpu.VMEM)]
     if use_weights:
+        n_off_m = w_sk.shape[0]
         args.append(w_sk)
-        in_specs.append(pl.BlockSpec((G, M, 4, R), lambda t: (t, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((n_off_m, R, G, 1),
+                                     lambda t: (0, 0, t, 0),
                                      memory_space=pltpu.VMEM))
     if fh_restrict:
         args += [lo_sk, hi_sk]
-        in_specs += [pl.BlockSpec((G, M, R), lambda t: (t, 0, 0),
+        in_specs += [pl.BlockSpec((M, R, G, 1), lambda t: (0, 0, t, 0),
                                   memory_space=pltpu.VMEM)] * 2
     flops_step = M * R * L * (20 if not use_fh else 24 + 8 * L.bit_length())
     return pl.pallas_call(
         kernel,
         grid=(T // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((G, M, R, L), lambda t: (t, 0, 0, 0),
+        out_specs=pl.BlockSpec((M, R, G, L), lambda t: (0, 0, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, M, R, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, R, T, L), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, M, R, L), jnp.float32),
-            pltpu.VMEM((3, M, R), jnp.float32),
+            pltpu.VMEM((D, M, R, L), jnp.float32),
+            pltpu.VMEM((D, M, R), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_step * T,
@@ -206,13 +261,12 @@ def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
 def pick_block(R: int, L: int):
     """(G, m_max): wavefront block depth and the largest pass-x-problem
     chunk whose working set fits VMEM.  Budget: double-buffered in+out
-    blocks (4 G-deep buffers) + 3 resident fronts + ~12 block-sized
-    intermediates, trailing (R, L) dims padded to the (8, 128) tile."""
+    G-deep slabs + 4 resident fronts + ~12 front-sized intermediates;
+    the in-VMEM tile pads (G, L) blocks to (8, 128) multiples."""
     lanes = -(-L // 128) * 128
-    subl = -(-R // 8) * 8
-    per_m = subl * lanes * 4
-    for G in (8, 4, 2, 1):
-        for M in (8, 4, 2, 1):
-            if (4 * G + 15) * M * per_m <= VMEM_LIMIT:
-                return G, M
-    return 1, 1
+    per_front = R * lanes * 4
+    G = 8
+    for M in (8, 4, 2, 1):
+        if (4 * G + 16) * M * per_front <= VMEM_LIMIT:
+            return G, M
+    return G, 1

@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import time
+
 from .config import MGMConfig
 from .ops import post
 from .ops.census import census_transform
@@ -39,18 +42,18 @@ def _preprocess(img: jnp.ndarray, cfg: MGMConfig):
     return apply_prefilter(img, cfg.prefilter)
 
 
-@partial(jax.jit, static_argnames=("cfg", "L", "n_sides"))
-def _build_volumes(u, v, lo_idx, hi_idx, gmin, *, cfg: MGMConfig, L: int,
-                   n_sides: int):
+@partial(jax.jit, static_argnames=("cfg", "L", "gmins"))
+def _build_volumes(u, v, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
+                   gmins: tuple):
     """Preprocess both images and build the (N, H, W, L) cost volumes."""
     up = _preprocess(u, cfg)
     vp = _preprocess(v, cfg)
-    ccs = [build_cost_volume(up, vp, lo_idx[0], hi_idx[0], gmin[0],
+    ccs = [build_cost_volume(up, vp, lo_idx[0], hi_idx[0], gmins[0],
                              distance=cfg.distance, L=L,
                              trunc_dist=cfg.trunc_dist,
                              ncc_win=cfg.census_ncc_win)]
-    if n_sides == 2:
-        ccs.append(build_cost_volume(vp, up, lo_idx[1], hi_idx[1], gmin[1],
+    if len(gmins) == 2:
+        ccs.append(build_cost_volume(vp, up, lo_idx[1], hi_idx[1], gmins[1],
                                      distance=cfg.distance, L=L,
                                      trunc_dist=cfg.trunc_dist,
                                      ncc_win=cfg.census_ncc_win))
@@ -83,6 +86,16 @@ def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides):
     return disp, disp_nolr, back
 
 
+def _mark(tag, prof, x=None):
+    """MGM_TPU_PROFILE=1: sync + print per-stage wall times."""
+    if prof:
+        if x is not None:
+            jax.block_until_ready(x)
+        now = time.perf_counter()
+        print(f"[profile] {tag}: {(now - prof[0]) * 1e3:.1f} ms", flush=True)
+        prof[0] = now
+
+
 def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                       dmin_img: np.ndarray | None = None,
                       dmax_img: np.ndarray | None = None) -> dict:
@@ -91,6 +104,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     Returns dict with 'disp', 'cost', 'disp_nolr', 'backflow' (left
     side) and 'disp_right', 'cost_right' when the LR check ran.
     """
+    prof = [time.perf_counter()] if os.environ.get("MGM_TPU_PROFILE") else None
     u = np.nan_to_num(np.asarray(u, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
     v = np.nan_to_num(np.asarray(v, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
     H, W, C = u.shape
@@ -146,8 +160,11 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
     p2 = cfg.p2 * C
 
+    _mark("host prep + weights", prof, w8)
     cc = _build_volumes(jnp.asarray(u), jnp.asarray(v), lo_idx, hi_idx,
-                        gmin_j, cfg=cfg, L=int(L), n_sides=n_sides)
+                        cfg=cfg, L=int(L),
+                        gmins=tuple(int(g) for g in gmin))
+    _mark("cost volumes", prof, cc)
 
     s_lo, s_hi = lo_idx, hi_idx
     disp = cost = None
@@ -157,8 +174,16 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
             gmin_j, p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
             use_fh=cfg.use_trunc_linear, use_weights=use_weights,
             per_pixel=per_pixel, fix_overcount=cfg.fix_overcount)
+        if cfg.debug:
+            # per-iteration energy audit (TSGM_DEBUG, mgm_print_energy.h)
+            from .ops.energy import print_solution_energy
+            print_solution_energy(disp[0], cc[0], lo_idx[0], hi_idx[0],
+                                  gmin[0], p1, p2,
+                                  dump_path="/tmp/ENERGY_L1trunc.tif")
+        _mark("mgm solve", prof, (S, disp, cost))
         disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
                              method=cfg.refinement)
+        _mark("refine", prof, (disp, cost))
         if it + 1 < cfg.iterations:
             flo_j, fhi_j, s_lo, s_hi = _tighten(disp, flo_j, fhi_j, gmin_j,
                                                 L)
@@ -167,8 +192,10 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         disp, jnp.asarray(u), jnp.asarray(v), jnp.float32(cfg.lr_tau),
         median_radius=cfg.median_radius, test_lr=cfg.test_lr,
         n_sides=n_sides)
+    _mark("postprocess", prof, (disp, disp_nolr, back))
 
     disp, cost, disp_nolr, back = jax.device_get((disp, cost, disp_nolr, back))
+    _mark("device_get", prof)
     out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0],
            "backflow": back}
     if n_sides == 2:

@@ -37,6 +37,40 @@ PASSES = [
 ]
 
 
+def _chan(d):
+    """Image-coordinate direction -> weight channel (mgm_weights.h:69);
+    knight moves map to the diagonal with the same signs."""
+    scans = [(-1, 0), (1, 0), (0, 1), (0, -1), (-1, -1), (1, -1), (1, 1),
+             (-1, 1)]
+    dd = (max(-1, min(1, d[0])), max(-1, min(1, d[1])))
+    return scans.index(dd)
+
+
+def _knight_passes():
+    """Eight 22.5-degree passes (main dirs (+-2,+-1)/(+-1,+-2)) — the
+    -O 16 capability the reference advertises but crashes on.  Canonical
+    companions of the knight dir1 (-2,-1): dir2 = N, dir3 = NW,
+    dir4 = W of scan space (all causal on the slope-2 wavefront)."""
+    canon = [(-2, -1), (0, -1), (-1, -1), (-1, 0)]
+    out = []
+    for rm in (1, 0):
+        for ix, iy in ((1, 1), (0, 0), (0, 1), (1, 0)):
+            dirs = []
+            for dx, dy in canon:
+                if not rm:
+                    dx, dy = dy, dx
+                if ix == 0:
+                    dx = -dx
+                if iy == 0:
+                    dy = -dy
+                dirs.append((dx, dy))
+            out.append((rm, ix, iy, dirs, [_chan(d) for d in dirs]))
+    return out
+
+
+PASSES += _knight_passes()
+
+
 def fmin3(a, b, c):
     m = a
     if m > b:

@@ -45,7 +45,7 @@ def test_cost_volume_pointwise(rng, distance, gmin):
     want = oracle.cost_volume_oracle(u, v, lo, hi, gmin, L, distance, np.inf)
     got = np.asarray(build_cost_volume(
         jnp.asarray(u), jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi),
-        jnp.int32(gmin), distance=distance, L=L, trunc_dist=np.inf))
+        int(gmin), distance=distance, L=L, trunc_dist=np.inf))
     np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-5)
 
 
@@ -59,7 +59,7 @@ def test_cost_volume_truncation_and_oob(rng):
     want = oracle.cost_volume_oracle(u, v, lo, hi, gmin, L, "ad", td)
     got = np.asarray(build_cost_volume(
         jnp.asarray(u), jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi),
-        jnp.int32(gmin), distance="ad", L=L, trunc_dist=td))
+        int(gmin), distance="ad", L=L, trunc_dist=td))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-6)
 
 
@@ -76,7 +76,7 @@ def test_cost_volume_census(rng):
     cu_j = census_transform(jnp.asarray(u), 1)
     cv_j = census_transform(jnp.asarray(v), 1)
     got = np.asarray(build_cost_volume(
-        cu_j, cv_j, jnp.asarray(lo), jnp.asarray(hi), jnp.int32(gmin),
+        cu_j, cv_j, jnp.asarray(lo), jnp.asarray(hi), int(gmin),
         distance="census", L=L, trunc_dist=np.inf))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
@@ -92,7 +92,7 @@ def test_cost_volume_ncc(rng, win):
                                      ncc_win=win)
     got = np.asarray(build_cost_volume(
         jnp.asarray(u), jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi),
-        jnp.int32(gmin), distance="ncc", L=L, trunc_dist=np.inf, ncc_win=win))
+        int(gmin), distance="ncc", L=L, trunc_dist=np.inf, ncc_win=win))
     fin = np.isfinite(want)
     assert np.array_equal(fin, np.isfinite(got))
     np.testing.assert_allclose(got[fin], want[fin], atol=0.05, rtol=1e-4)
@@ -109,7 +109,7 @@ def test_cost_volume_all_invalid_rule(rng):
     hi = np.full((H, W), L - 1, np.int32)
     got = np.asarray(build_cost_volume(
         jnp.asarray(u), jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi),
-        jnp.int32(gmin), distance="ad", L=L, trunc_dist=np.inf))
+        int(gmin), distance="ad", L=L, trunc_dist=np.inf))
     np.testing.assert_array_equal(got, np.zeros((H, W, L), np.float32))
 
 

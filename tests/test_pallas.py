@@ -81,3 +81,37 @@ def test_label_padding_is_noop(rng):
     prob = make_problem(rng, L=6)
     a, b = run_both(prob, p1=1.0, p2=1e6, ndir=4, mgm=2, use_fh=True)
     check_close(a, b)
+
+
+@pytest.mark.parametrize("distance", ["ad", "sd", "census", "btad", "btsd"])
+def test_cost_kernel_matches_xla(rng, distance):
+    """Pallas cost-volume kernel (interpret) == XLA path."""
+    from mgm_tpu.ops.cost import build_cost_volume
+    from mgm_tpu.ops.census import census_transform
+
+    H, W, C, L, gmin = 8, 11, 3, 6, -3
+    u = jnp.asarray(rng.uniform(0, 255, (H, W, C)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 255, (H, W, C)).astype(np.float32))
+    if distance == "census":
+        u = census_transform(u, 1)
+        v = census_transform(v, 1)
+    lo = jnp.zeros((H, W), jnp.int32)
+    hi = jnp.full((H, W), L - 1, jnp.int32)
+    a = build_cost_volume(u, v, lo, hi, gmin, distance=distance, L=L,
+                          trunc_dist=63.0, backend="xla")
+    b = build_cost_volume(u, v, lo, hi, gmin, distance=distance, L=L,
+                          trunc_dist=63.0, backend="interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("mgm", [2, 4])
+def test_knight_pallas(rng, mgm):
+    prob = make_problem(rng)
+    a, b = run_both(prob, p1=8.0, p2=32.0, ndir=16, mgm=mgm)
+    check_close(a, b)
+
+
+def test_knight_pallas_weighted(rng):
+    prob = make_problem(rng, weighted=True)
+    a, b = run_both(prob, p1=8.0, p2=32.0, ndir=16, mgm=4, use_weights=True)
+    check_close(a, b)

@@ -155,3 +155,18 @@ def test_batched_sides_match_separate(rng):
         np.testing.assert_array_equal(np.asarray(db[i]), np.asarray(d1[0]))
         np.testing.assert_allclose(np.asarray(cb[i]), np.asarray(c1[0]),
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize("ndir", [12, 16])
+@pytest.mark.parametrize("mgm", [1, 2, 4])
+def test_knight_directions(rng, ndir, mgm):
+    """-O 16 support (the 22.5-degree passes the reference crashes on)."""
+    cc, w, lo, hi, s_lo, s_hi = make_problem(rng)
+    o, j = run_both(cc, w, lo, hi, s_lo, s_hi, 8, 32, ndir, mgm, False)
+    check(o, j, s_lo, s_hi)
+
+
+def test_knight_weighted_fh(rng):
+    cc, w, lo, hi, s_lo, s_hi = make_problem(rng, weighted=True)
+    o, j = run_both(cc, w, lo, hi, s_lo, s_hi, 5, 19, 16, 4, True)
+    check(o, j, s_lo, s_hi)
