@@ -416,7 +416,7 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
             C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, knight=knight,
             use_fh=use_fh, use_weights=use_weights, fh_restrict=fh_restrict,
             interpret=interpret)
-        parts.append(pw.unskew_p(lr_sk, C, interpret))
+        parts.append(pw.unskew_p(lr_sk, C, R, interpret))
     lr = (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
     lr = lr.reshape(B, N, R, C, L)
     out = from_canonical(lr[0], specs[0], 1, 2)

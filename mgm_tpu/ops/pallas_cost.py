@@ -25,42 +25,46 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
+LB = 8  # labels per grid step (amortises per-step overhead)
+
+
 def _kernel(u_ref, v_ref, out_ref, *, mode, C, W, left, gmin):
-    l = pl.program_id(0)
-    start = left + gmin + l
-    sh = v_ref[pl.ds(start, W)]                  # (W, Ck, H)
-    acc = None
-    if mode in ("ad", "sd"):
-        for c in range(C):
-            d = jnp.abs(u_ref[:, c, :] - sh[:, c, :])
-            if mode == "sd":
-                d = d * d
-            acc = d if acc is None else acc + d
-    elif mode == "census":
-        for c in range(C):  # C = number of packed words here
-            x = u_ref[:, c, :] ^ sh[:, c, :]
-            p = jax.lax.population_count(x)
-            acc = p if acc is None else acc + p
-        acc = acc.astype(jnp.float32) * (1.0 / C)
-    elif mode in ("btad", "btsd"):
-        # channel blocks: [I, Imin, Imax] for each side
-        for c in range(C):
-            IL = u_ref[:, c, :]
-            uminc = u_ref[:, C + c, :]
-            umaxc = u_ref[:, 2 * C + c, :]
-            IR = sh[:, c, :]
-            vminc = sh[:, C + c, :]
-            vmaxc = sh[:, 2 * C + c, :]
-            zero = 0.0
-            dLR = jnp.maximum(zero, jnp.maximum(IL - vmaxc, vminc - IL))
-            dRL = jnp.maximum(zero, jnp.maximum(IR - umaxc, uminc - IR))
-            bt = jnp.abs(jnp.minimum(dLR, dRL))
-            if mode == "btsd":
-                bt = bt * bt
-            acc = bt if acc is None else acc + bt
-    else:
-        raise ValueError(mode)
-    out_ref[0] = acc
+    l0 = pl.program_id(0) * LB
+    for dl in range(LB):
+        start = left + gmin + l0 + dl
+        sh = v_ref[pl.ds(start, W)]              # (W, Ck, H)
+        acc = None
+        if mode in ("ad", "sd"):
+            for c in range(C):
+                d = jnp.abs(u_ref[:, c, :] - sh[:, c, :])
+                if mode == "sd":
+                    d = d * d
+                acc = d if acc is None else acc + d
+        elif mode == "census":
+            for c in range(C):  # C = number of packed words here
+                x = u_ref[:, c, :] ^ sh[:, c, :]
+                p = jax.lax.population_count(x)
+                acc = p if acc is None else acc + p
+            acc = acc.astype(jnp.float32) * (1.0 / C)
+        elif mode in ("btad", "btsd"):
+            # channel blocks: [I, Imin, Imax] for each side
+            for c in range(C):
+                IL = u_ref[:, c, :]
+                uminc = u_ref[:, C + c, :]
+                umaxc = u_ref[:, 2 * C + c, :]
+                IR = sh[:, c, :]
+                vminc = sh[:, C + c, :]
+                vmaxc = sh[:, 2 * C + c, :]
+                zero = 0.0
+                dLR = jnp.maximum(zero, jnp.maximum(IL - vmaxc, vminc - IL))
+                dRL = jnp.maximum(zero, jnp.maximum(IR - umaxc, uminc - IR))
+                bt = jnp.abs(jnp.minimum(dLR, dRL))
+                if mode == "btsd":
+                    bt = bt * bt
+                acc = bt if acc is None else acc + bt
+        else:
+            raise ValueError(mode)
+        out_ref[dl] = acc
 
 
 def pointwise_volume(u_t, v_pad_t, *, mode: str, C: int, W: int, L: int,
@@ -69,25 +73,29 @@ def pointwise_volume(u_t, v_pad_t, *, mode: str, C: int, W: int, L: int,
     edge-padded right image (the label shift is a dynamic slice of the
     untiled leading axis).  Returns (L, W, H) float32 raw costs."""
     W_, Ck, H = u_t.shape
+    Lp = -(-L // LB) * LB
+    # pad the shift range so the padded labels stay in bounds
+    v_pad_t = jnp.pad(v_pad_t, [(0, Lp - L), (0, 0), (0, 0)], mode="edge")
     Wp = v_pad_t.shape[0]
     kernel = functools.partial(_kernel, mode=mode, C=C, W=W, left=left,
                                gmin=gmin)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(Lp // LB,),
         in_specs=[
             pl.BlockSpec((W, Ck, H), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Wp, Ck, H), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, W, H), lambda l: (l, 0, 0),
+        out_specs=pl.BlockSpec((LB, W, H), lambda l: (l, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, W, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Lp, W, H), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=L * H * W * C * 4,
-            bytes_accessed=(2 * Ck * H * W + L * H * W) * 4,
+            flops=Lp * H * W * C * 4,
+            bytes_accessed=(2 * Ck * H * W + Lp * H * W) * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(u_t, v_pad_t)
+    return out[:L]

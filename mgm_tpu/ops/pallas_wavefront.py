@@ -36,50 +36,69 @@ VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB VMEM per core
 
 
 def _skew_kernel(x_ref, o_ref, *, C, fill):
-    r = pl.program_id(0)
-    o_ref[:, 0] = jnp.full_like(o_ref[:, 0], fill)
-    o_ref[:, 0, pl.ds(2 * r, C), :] = x_ref[:, 0]
+    # 4 rows per step: the dynamic store base 8k is sublane-aligned
+    # (Mosaic requires it provably a multiple of 8); each row's residual
+    # 2j shift is a static circular roll inside an (C+8)-wide buffer
+    k = pl.program_id(0)
+    base = pl.multiple_of(8 * k, 8)
+    A, _, _, B = x_ref.shape
+    for j in range(4):
+        row = x_ref[:, j]                            # (A, C, B)
+        pad = jnp.full((A, 8, B), fill, x_ref.dtype)
+        buf = pltpu.roll(jnp.concatenate([row, pad], axis=1), 2 * j, axis=1)
+        o_ref[:, j] = jnp.full_like(o_ref[:, j], fill)
+        o_ref[:, j, pl.ds(base, C + 8), :] = buf
 
 
 def skew_p(x, fill, t_round: int = 1, interpret=False):
-    """(A, R, C, B) -> (A, R, T, B) with out[:, r, 2r+c] = x[:, r, c],
-    fill elsewhere; T = C + 2R - 2 rounded up to `t_round`.  A Pallas
+    """(A, R, C, B) -> (A, Rp, T, B) with out[:, r, 2r+c] = x[:, r, c],
+    fill elsewhere; Rp = R rounded to 4 rows (fill rows appended) and
+    T = C + 2R - 2 (+ store margin) rounded up to `t_round`.  A Pallas
     copy kernel: XLA's pad+reshape lowering of the same diagonal
     relayout runs ~25x slower than the wavefront kernel it feeds."""
     A, R, C, B = x.shape
-    T = -(-(C + 2 * R - 2) // t_round) * t_round
+    Rp = -(-R // 4) * 4
+    T = -(-(C + 2 * Rp - 2 + 8) // t_round) * t_round
+    if Rp != R:
+        x = jnp.pad(x, [(0, 0), (0, Rp - R), (0, 0), (0, 0)],
+                    constant_values=fill)
     return pl.pallas_call(
         functools.partial(_skew_kernel, C=C, fill=fill),
-        grid=(R,),
-        in_specs=[pl.BlockSpec((A, 1, C, B), lambda r: (0, r, 0, 0),
+        grid=(Rp // 4,),
+        in_specs=[pl.BlockSpec((A, 4, C, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((A, 1, T, B), lambda r: (0, r, 0, 0),
+        out_specs=pl.BlockSpec((A, 4, T, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, R, T, B), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((A, Rp, T, B), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(x)
 
 
 def _unskew_kernel(x_ref, o_ref, *, C):
-    r = pl.program_id(0)
-    o_ref[:, 0] = x_ref[:, 0, pl.ds(2 * r, C), :]
+    k = pl.program_id(0)
+    base = pl.multiple_of(8 * k, 8)
+    for j in range(4):
+        buf = x_ref[:, j, pl.ds(base, C + 8), :]     # (A, C+8, B)
+        buf = pltpu.roll(buf, (C + 8) - 2 * j, axis=1)
+        o_ref[:, j] = buf[:, :C, :]
 
 
-def unskew_p(y, C: int, interpret=False):
-    """(A, R, T, B) -> (A, R, C, B), inverse of `skew_p`."""
-    A, R, T, B = y.shape
-    return pl.pallas_call(
+def unskew_p(y, C: int, R: int, interpret=False):
+    """(A, Rp, T, B) -> (A, R, C, B), inverse of `skew_p`."""
+    A, Rp, T, B = y.shape
+    out = pl.pallas_call(
         functools.partial(_unskew_kernel, C=C),
-        grid=(R,),
-        in_specs=[pl.BlockSpec((A, 1, T, B), lambda r: (0, r, 0, 0),
+        grid=(Rp // 4,),
+        in_specs=[pl.BlockSpec((A, 4, T, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((A, 1, C, B), lambda r: (0, r, 0, 0),
+        out_specs=pl.BlockSpec((A, 4, C, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, R, C, B), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((A, Rp, C, B), y.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(y)
+    return out[:, :R] if Rp != R else out
 
 
 def _row_shift(x, fill, axis=0):
@@ -265,8 +284,10 @@ def pick_block(R: int, L: int):
     the in-VMEM tile pads (G, L) blocks to (8, 128) multiples."""
     lanes = -(-L // 128) * 128
     per_front = R * lanes * 4
-    G = 8
-    for M in (8, 4, 2, 1):
+    # deeper blocks amortise per-step overhead; prefer more work per
+    # call (G*M), then fewer chunks (larger M).  G capped at 16: the
+    # 32-deep unrolled kernel body OOMs the TPU compiler.
+    for G, M in ((16, 2), (8, 2), (16, 1), (8, 1)):
         if (4 * G + 16) * M * per_front <= VMEM_LIMIT:
             return G, M
-    return G, 1
+    return 8, 1

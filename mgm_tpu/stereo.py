@@ -42,10 +42,16 @@ def _preprocess(img: jnp.ndarray, cfg: MGMConfig):
     return apply_prefilter(img, cfg.prefilter)
 
 
-@partial(jax.jit, static_argnames=("cfg", "L", "gmins"))
+@partial(jax.jit, static_argnames=("cfg", "L", "gmins", "n_sides"))
 def _build_volumes(u, v, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
-                   gmins: tuple):
-    """Preprocess both images and build the (N, H, W, L) cost volumes."""
+                   gmins: tuple, n_sides: int):
+    """Adaptive weights + preprocess + the (N, H, W, L) cost volumes,
+    one jitted dispatch."""
+    u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
+    v = jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+    w_u = compute_weights(u, cfg.a_p2, cfg.a_thresh)
+    w_v = compute_weights(v, cfg.a_p2, cfg.a_thresh)
+    w8 = jnp.stack([w_u, w_v][:n_sides])
     up = _preprocess(u, cfg)
     vp = _preprocess(v, cfg)
     ccs = [build_cost_volume(up, vp, lo_idx[0], hi_idx[0], gmins[0],
@@ -57,7 +63,7 @@ def _build_volumes(u, v, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
                                      distance=cfg.distance, L=L,
                                      trunc_dist=cfg.trunc_dist,
                                      ncc_win=cfg.census_ncc_win))
-    return jnp.stack(ccs)
+    return jnp.stack(ccs), w8, u, v
 
 
 @partial(jax.jit, static_argnames=("method",))
@@ -98,15 +104,18 @@ def _mark(tag, prof, x=None):
 
 def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                       dmin_img: np.ndarray | None = None,
-                      dmax_img: np.ndarray | None = None) -> dict:
+                      dmax_img: np.ndarray | None = None,
+                      outputs: tuple | None = None) -> dict:
     """Host entry point.  u, v: (H, W, C) float arrays.
 
     Returns dict with 'disp', 'cost', 'disp_nolr', 'backflow' (left
     side) and 'disp_right', 'cost_right' when the LR check ran.
+    `outputs` restricts which keys are fetched to the host (device->host
+    transfers dominate small-problem latency on remote-attached TPUs).
     """
     prof = [time.perf_counter()] if os.environ.get("MGM_TPU_PROFILE") else None
-    u = np.nan_to_num(np.asarray(u, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
-    v = np.nan_to_num(np.asarray(v, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
     H, W, C = u.shape
 
     # per-pixel disparity windows (mgm.cc:338-353)
@@ -137,34 +146,48 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         L = gmax_l - gmin_l + 1
         gmin = np.array([gmin_l], np.int32)
 
-    lo_idx = [lo_i - gmin_l]
-    hi_idx = [hi_i - gmin_l]
-    flo_s = [flo]
-    fhi_s = [fhi]
-    if n_sides == 2:
-        lo_idx.append(np.full((H, W), -cfg.dmax - gmin_r, np.int32))
-        hi_idx.append(np.full((H, W), -cfg.dmin - gmin_r, np.int32))
-        flo_s.append(np.full((H, W), -cfg.dmax, np.float32))
-        fhi_s.append(np.full((H, W), -cfg.dmin, np.float32))
+    # all-ones weights iff a_p2 == 1, exactly the reference's dynamic
+    # scan outcome (mgm_core.cc:420-423; w != 1 requires aP != 1)
+    use_weights = cfg.a_p2 != 1.0
 
-    w_u = compute_weights(jnp.asarray(u), cfg.a_p2, cfg.a_thresh)
-    w_v = compute_weights(jnp.asarray(v), cfg.a_p2, cfg.a_thresh)
-    w8 = jnp.stack([w_u, w_v][:n_sides])
-    use_weights = bool(jnp.any(w8 != 1.0))  # mgm_core.cc:420-423
-
-    lo_idx = jnp.asarray(np.stack(lo_idx))
-    hi_idx = jnp.asarray(np.stack(hi_idx))
-    flo_j = jnp.asarray(np.stack(flo_s))
-    fhi_j = jnp.asarray(np.stack(fhi_s))
+    if per_pixel:
+        lo_idx = [lo_i - gmin_l]
+        hi_idx = [hi_i - gmin_l]
+        if n_sides == 2:
+            lo_idx.append(np.full((H, W), -cfg.dmax - gmin_r, np.int32))
+            hi_idx.append(np.full((H, W), -cfg.dmin - gmin_r, np.int32))
+        lo_idx = jnp.asarray(np.stack(lo_idx))
+        hi_idx = jnp.asarray(np.stack(hi_idx))
+        flo_s = [flo]
+        fhi_s = [fhi]
+        if n_sides == 2:
+            flo_s.append(np.full((H, W), -cfg.dmax, np.float32))
+            fhi_s.append(np.full((H, W), -cfg.dmin, np.float32))
+        flo_j = jnp.asarray(np.stack(flo_s))
+        fhi_j = jnp.asarray(np.stack(fhi_s))
+    else:
+        # constant windows: build on device, no host uploads
+        los = [cfg.dmin - gmin_l] + ([-cfg.dmax - gmin_r] if n_sides == 2
+                                     else [])
+        his = [cfg.dmax - gmin_l] + ([-cfg.dmin - gmin_r] if n_sides == 2
+                                     else [])
+        lo_idx = jnp.asarray(los, jnp.int32)[:, None, None] *             jnp.ones((1, H, W), jnp.int32)
+        hi_idx = jnp.asarray(his, jnp.int32)[:, None, None] *             jnp.ones((1, H, W), jnp.int32)
+        flo_v = [cfg.dmin] + ([-cfg.dmax] if n_sides == 2 else [])
+        fhi_v = [cfg.dmax] + ([-cfg.dmin] if n_sides == 2 else [])
+        flo_j = jnp.asarray(flo_v, jnp.float32)[:, None, None] *             jnp.ones((1, H, W), jnp.float32)
+        fhi_j = jnp.asarray(fhi_v, jnp.float32)[:, None, None] *             jnp.ones((1, H, W), jnp.float32)
     gmin_j = jnp.asarray(gmin)
     p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
     p2 = cfg.p2 * C
 
-    _mark("host prep + weights", prof, w8)
-    cc = _build_volumes(jnp.asarray(u), jnp.asarray(v), lo_idx, hi_idx,
-                        cfg=cfg, L=int(L),
-                        gmins=tuple(int(g) for g in gmin))
-    _mark("cost volumes", prof, cc)
+    _mark("host prep", prof, (lo_idx, hi_idx))
+    cc, w8, u_j, v_j = _build_volumes(jnp.asarray(u), jnp.asarray(v),
+                                      lo_idx, hi_idx,
+                                      cfg=cfg, L=int(L),
+                                      gmins=tuple(int(g) for g in gmin),
+                                      n_sides=n_sides)
+    _mark("weights + cost volumes", prof, (cc, w8))
 
     s_lo, s_hi = lo_idx, hi_idx
     disp = cost = None
@@ -181,25 +204,28 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                                   gmin[0], p1, p2,
                                   dump_path="/tmp/ENERGY_L1trunc.tif")
         _mark("mgm solve", prof, (S, disp, cost))
-        disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
-                             method=cfg.refinement)
+        if cfg.refinement != "none":
+            disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
+                                 method=cfg.refinement)
         _mark("refine", prof, (disp, cost))
         if it + 1 < cfg.iterations:
             flo_j, fhi_j, s_lo, s_hi = _tighten(disp, flo_j, fhi_j, gmin_j,
                                                 L)
 
     disp, disp_nolr, back = _postprocess(
-        disp, jnp.asarray(u), jnp.asarray(v), jnp.float32(cfg.lr_tau),
+        disp, u_j, v_j, jnp.float32(cfg.lr_tau),
         median_radius=cfg.median_radius, test_lr=cfg.test_lr,
         n_sides=n_sides)
     _mark("postprocess", prof, (disp, disp_nolr, back))
 
-    disp, cost, disp_nolr, back = jax.device_get((disp, cost, disp_nolr, back))
-    _mark("device_get", prof)
     out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0],
            "backflow": back}
     if n_sides == 2:
         out["disp_right"] = disp[1]
         out["cost_right"] = cost[1]
         out["disp_nolr_right"] = disp_nolr[1]
+    if outputs is not None:
+        out = {k: v for k, v in out.items() if k in outputs}
+    out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    _mark("device_get", prof)
     return out
