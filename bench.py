@@ -6,6 +6,7 @@ Reference serial-CPU baseline: 18.2 s = 5.8 MP*disp/s over 2 sides
 (BASELINE.md).  Prints one JSON line with measured MP*disp/s.
 """
 import json
+import os
 import sys
 import time
 
@@ -26,7 +27,16 @@ def main():
     L = cfg.dmax - cfg.dmin + 1
     mpd = 2 * H * W * L / 1e6  # both sides
 
-    compute_disparity(u, v, cfg, outputs=("disp", "cost"))  # warmup
+    try:
+        compute_disparity(u, v, cfg, outputs=("disp", "cost"))  # warmup
+    except Exception:
+        # the remote TPU compile service intermittently OOM-kills big
+        # kernel compiles; retry with a shallower wavefront block
+        import jax
+
+        os.environ["MGM_TPU_MAX_G"] = "8"
+        jax.clear_caches()
+        compute_disparity(u, v, cfg, outputs=("disp", "cost"))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -397,7 +397,7 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
     T = C + 2 * R - 2
     t_pad = -(-T // G) * G
     lanes = -(-L // 128) * 128
-    hbm_cap = max(1, (2 << 30) // (R * t_pad * lanes * 4))
+    hbm_cap = max(1, (4 << 30) // (R * t_pad * lanes * 4))
     m_max = min(m_vmem, hbm_cap)
     parts = []
     for s0 in range(0, B * N, m_max):

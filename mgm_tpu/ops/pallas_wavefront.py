@@ -25,6 +25,7 @@ History depth D = 4 for knight groups, else 3.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,14 +39,19 @@ VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB VMEM per core
 def _skew_kernel(x_ref, o_ref, *, C, fill):
     # 4 rows per step: the dynamic store base 8k is sublane-aligned
     # (Mosaic requires it provably a multiple of 8); each row's residual
-    # 2j shift is a static circular roll inside an (C+8)-wide buffer
+    # 2j shift is a static concat inside a (C+8)-wide buffer
     k = pl.program_id(0)
     base = pl.multiple_of(8 * k, 8)
     A, _, _, B = x_ref.shape
     for j in range(4):
         row = x_ref[:, j]                            # (A, C, B)
-        pad = jnp.full((A, 8, B), fill, x_ref.dtype)
-        buf = pltpu.roll(jnp.concatenate([row, pad], axis=1), 2 * j, axis=1)
+        parts = []
+        if j > 0:
+            parts.append(jnp.full((A, 2 * j, B), fill, x_ref.dtype))
+        parts.append(row)
+        if 8 - 2 * j > 0:
+            parts.append(jnp.full((A, 8 - 2 * j, B), fill, x_ref.dtype))
+        buf = jnp.concatenate(parts, axis=1)
         o_ref[:, j] = jnp.full_like(o_ref[:, j], fill)
         o_ref[:, j, pl.ds(base, C + 8), :] = buf
 
@@ -80,8 +86,9 @@ def _unskew_kernel(x_ref, o_ref, *, C):
     base = pl.multiple_of(8 * k, 8)
     for j in range(4):
         buf = x_ref[:, j, pl.ds(base, C + 8), :]     # (A, C+8, B)
-        buf = pltpu.roll(buf, (C + 8) - 2 * j, axis=1)
-        o_ref[:, j] = buf[:, :C, :]
+        # the residual 2j offset is static: a plain slice, no rotate
+        # (large-amount sublane rolls lower to catastrophic code)
+        o_ref[:, j] = buf[:, 2 * j:2 * j + C, :]
 
 
 def unskew_p(y, C: int, R: int, interpret=False):
@@ -285,9 +292,14 @@ def pick_block(R: int, L: int):
     lanes = -(-L // 128) * 128
     per_front = R * lanes * 4
     # deeper blocks amortise per-step overhead; prefer more work per
-    # call (G*M), then fewer chunks (larger M).  G capped at 16: the
-    # 32-deep unrolled kernel body OOMs the TPU compiler.
+    # call (G*M), then fewer chunks (larger M).  G capped at 16 by
+    # default ((8,4) and (32,*) OOM the TPU compile helper); the
+    # MGM_TPU_MAX_G env var drops the cap further when the compile
+    # service is under pressure.  The budget is 4G in/out
+    # double-buffered fronts + history + ~9 live intermediates
+    # (front-sized, not G-scaled).
+    g_cap = int(os.environ.get("MGM_TPU_MAX_G", "16"))
     for G, M in ((16, 2), (8, 2), (16, 1), (8, 1)):
-        if (4 * G + 16) * M * per_front <= VMEM_LIMIT:
+        if G <= g_cap and (4 * G + 13) * M * per_front <= VMEM_LIMIT:
             return G, M
-    return 8, 1
+    return min(8, g_cap), 1

@@ -80,15 +80,17 @@ def _tighten(disp, flo, fhi, gmin, L):
     return flo, fhi, s_lo, s_hi
 
 
-@partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides"))
-def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides):
+@partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides",
+                                   "want_backflow"))
+def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides,
+                 want_backflow):
     disp = post.median_filter(disp, radius=median_radius)
     disp_nolr = disp
     if n_sides == 2 and test_lr:
         d_l = post.leftright_test(disp[0], disp[1], lr_tau)
         d_r = post.leftright_test(disp[1], disp[0], lr_tau)
         disp = jnp.stack([d_l, d_r])
-    back = post.backflow(disp[0], v, u)
+    back = post.backflow(disp[0], v, u) if want_backflow else None
     return disp, disp_nolr, back
 
 
@@ -212,14 +214,16 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
             flo_j, fhi_j, s_lo, s_hi = _tighten(disp, flo_j, fhi_j, gmin_j,
                                                 L)
 
+    want_back = outputs is None or "backflow" in outputs
     disp, disp_nolr, back = _postprocess(
         disp, u_j, v_j, jnp.float32(cfg.lr_tau),
         median_radius=cfg.median_radius, test_lr=cfg.test_lr,
-        n_sides=n_sides)
-    _mark("postprocess", prof, (disp, disp_nolr, back))
+        n_sides=n_sides, want_backflow=want_back)
+    _mark("postprocess", prof, (disp, disp_nolr))
 
-    out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0],
-           "backflow": back}
+    out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0]}
+    if want_back:
+        out["backflow"] = back
     if n_sides == 2:
         out["disp_right"] = disp[1]
         out["cost_right"] = cost[1]

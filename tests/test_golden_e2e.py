@@ -107,3 +107,28 @@ def test_golden(crop, cid, args, env, kw):
     d_ref, c_ref = run_reference(d, args, env)
     res = compute_disparity(u, v, MGMConfig(**kw))
     compare(d_ref, c_ref, res["disp"], res["cost"])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN), reason="reference not built")
+def test_golden_satellite(tmp_path):
+    """cfg3-style run on the single-channel satellite pair (odd sizes,
+    census 5x5, 8 directions)."""
+    from mgm_tpu.io import read_image as rd
+    u = rd(f"{REF_DATA}/rectified_ref.tif")[:96, :88]
+    v = rd(f"{REF_DATA}/rectified_sec.tif")[:96, :88]
+    write_image(str(tmp_path / "u.tif"), u)
+    write_image(str(tmp_path / "v.tif"), v)
+    env = dict(os.environ)
+    env.update({"TESTLRRL": "1", "TSGM": "3", "CENSUS_NCC_WIN": "5",
+                "MEDIAN": "1", "TSGM_DEBUG": "0"})
+    args = ["-r", -22, "-R", 19, "-O", 8, "-t", "census", "-s", "vfit"]
+    subprocess.run([REF_BIN] + [str(a) for a in args] +
+                   [str(tmp_path / "u.tif"), str(tmp_path / "v.tif"),
+                    str(tmp_path / "ref.tif"), str(tmp_path / "refc.tif")],
+                   check=True, env=env, capture_output=True)
+    res = compute_disparity(u, v, MGMConfig(
+        dmin=-22, dmax=19, ndir=8, mgm=3, distance="census",
+        census_ncc_win=5, refinement="vfit", median_radius=1, test_lr=True))
+    d_ref = read_image(str(tmp_path / "ref.tif"))[..., 0]
+    c_ref = read_image(str(tmp_path / "refc.tif"))[..., 0]
+    compare(d_ref, c_ref, res["disp"], res["cost"])
