@@ -132,3 +132,29 @@ def test_golden_satellite(tmp_path):
     d_ref = read_image(str(tmp_path / "ref.tif"))[..., 0]
     c_ref = read_image(str(tmp_path / "refc.tif"))[..., 0]
     compare(d_ref, c_ref, res["disp"], res["cost"])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN), reason="reference not built")
+def test_golden_per_pixel_ranges(crop, tmp_path):
+    """-m/-M per-pixel disparity windows (mgm.cc:338-353)."""
+    d, u, v = crop
+    H, W, _ = u.shape
+    rng = np.random.default_rng(7)
+    dmin_img = (-12 + rng.integers(0, 4, (H, W))).astype(np.float32)
+    dmax_img = (4 - rng.integers(0, 4, (H, W))).astype(np.float32)
+    write_image(str(tmp_path / "m.tif"), dmin_img)
+    write_image(str(tmp_path / "M.tif"), dmax_img)
+    env = dict(os.environ)
+    env.update({"TESTLRRL": "0", "TSGM": "2", "TSGM_DEBUG": "0"})
+    subprocess.run([REF_BIN, "-O", "4",
+                    "-m", str(tmp_path / "m.tif"), "-M", str(tmp_path / "M.tif"),
+                    str(d / "u.png"), str(d / "v.png"),
+                    str(tmp_path / "ref.tif"), str(tmp_path / "refc.tif")],
+                   check=True, env=env, capture_output=True)
+    res = compute_disparity(u, v,
+                            MGMConfig(dmin=-12, dmax=4, ndir=4, mgm=2,
+                                      test_lr=False),
+                            dmin_img=dmin_img, dmax_img=dmax_img)
+    d_ref = read_image(str(tmp_path / "ref.tif"))[..., 0]
+    c_ref = read_image(str(tmp_path / "refc.tif"))[..., 0]
+    compare(d_ref, c_ref, res["disp"], res["cost"])

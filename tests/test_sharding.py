@@ -56,3 +56,17 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_solve_tiled_matches_mrf(rng):
+    """solve_tiled (mesh entry) == solve_mrf (single-device entry)."""
+    from mgm_tpu.mrf import solve_mrf
+    from mgm_tpu.parallel import solve_tiled
+
+    H, W, L = 12, 10, 7
+    unary = rng.uniform(0, 40, (H, W, L)).astype(np.float32)
+    want = solve_mrf(unary, ndir=8, p1=8, p2=32, mgm=2, vtype=0)
+    mesh = make_mesh(4)
+    disp, cost = solve_tiled(mesh, jnp.asarray(unary)[None],
+                             p1=8.0 * 1, p2=32.0 * 1, ndir=8, mgm=2)
+    np.testing.assert_array_equal(np.asarray(disp[0]), want)
