@@ -363,6 +363,8 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
     R, C = (H, W) if rm else (W, H)
     d2o = _dir2off(specs[0])[:mgm]
     offs = sorted(set(d2o))
+    # slope-1 wavefronts whenever NE (same-front on slope 1) is inactive
+    slope = 2 if 3 in offs else 1
     barrier = jax.lax.optimization_barrier
 
     cc_c = jnp.stack([to_canonical(cc, s, 1, 2) for s in specs])
@@ -394,7 +396,7 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
         # the interpreter pays per-front graph size, not per-step DMA;
         # G=2 still exercises both the in-block and cross-block paths
         G = min(G, 2)
-    T = C + 2 * R - 2
+    T = C + slope * (R - 1)
     t_pad = -(-T // G) * G
     lanes = -(-L // 128) * 128
     hbm_cap = max(1, (4 << 30) // (R * t_pad * lanes * 4))
@@ -403,20 +405,21 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
     for s0 in range(0, B * N, m_max):
         s1 = min(s0 + m_max, B * N)
         M = s1 - s0
-        cc_sk = pw.skew_p(cc_c[s0:s1], INF, G, interpret)    # (M, R, T, L)
+        cc_sk = pw.skew_p(cc_c[s0:s1], INF, G, slope, interpret)
         w_sk = lo_sk = hi_sk = None
         if use_weights:
             wm = w_c[:, s0:s1].reshape(len(offs) * M, R, C, 1)
-            w_sk = pw.skew_p(wm, 1.0, G, interpret)          # (nof*M, R, T, 1)
+            w_sk = pw.skew_p(wm, 1.0, G, slope, interpret)
         if fh_restrict:
-            lo_sk = pw.skew_p(lo_c[s0:s1, ..., None], 0, G, interpret)
-            hi_sk = pw.skew_p(hi_c[s0:s1, ..., None], -1, G, interpret)
+            lo_sk = pw.skew_p(lo_c[s0:s1, ..., None], 0, G, slope, interpret)
+            hi_sk = pw.skew_p(hi_c[s0:s1, ..., None], -1, G, slope,
+                              interpret)
         lr_sk = pw.wavefront_scan(
             cc_sk, w_sk, lo_sk, hi_sk,
-            C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, knight=knight,
-            use_fh=use_fh, use_weights=use_weights, fh_restrict=fh_restrict,
-            interpret=interpret)
-        parts.append(pw.unskew_p(lr_sk, C, R, interpret))
+            C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, slope=slope,
+            knight=knight, use_fh=use_fh, use_weights=use_weights,
+            fh_restrict=fh_restrict, interpret=interpret)
+        parts.append(pw.unskew_p(lr_sk, C, R, slope, interpret))
     lr = (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
     lr = lr.reshape(B, N, R, C, L)
     out = from_canonical(lr[0], specs[0], 1, 2)

@@ -20,7 +20,11 @@ Canonical causal offsets (see ops/aggregate.py):
     0 W   -> front t-1, same row     3 NE  -> front t-1, row above
     1 N   -> front t-2, row above    4 WWN -> front t-4, row above
     2 NW  -> front t-3, row above          (knight passes, -O 16)
-History depth D = 4 for knight groups, else 3.
+History depth D = the maximum front lag among the active offsets.
+Pass groups whose offsets exclude NE (axis passes at mgm <= 3, all
+knight passes) use slope-1 wavefronts (t = ii + jj), shrinking the
+skewed volume and scan length ~30%; NE needs the slope-2 schedule
+(t = ii + 2*jj) as its causality certificate (mgm_core.cc:505-511).
 """
 from __future__ import annotations
 
@@ -36,44 +40,49 @@ INF = float("inf")
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB VMEM per core
 
 
-def _skew_kernel(x_ref, o_ref, *, C, fill):
-    # 4 rows per step: the dynamic store base 8k is sublane-aligned
-    # (Mosaic requires it provably a multiple of 8); each row's residual
-    # 2j shift is a static concat inside a (C+8)-wide buffer
+def _skew_kernel(x_ref, o_ref, *, C, fill, slope, rpb):
+    # 8/slope rows per step: the dynamic store base 8k is
+    # sublane-aligned (Mosaic requires it provably a multiple of 8);
+    # each row's residual slope*j shift is a static concat inside a
+    # (C+8)-wide buffer
     k = pl.program_id(0)
     base = pl.multiple_of(8 * k, 8)
-    A, _, _, B = x_ref.shape
-    for j in range(4):
+    A = x_ref.shape[0]
+    B = x_ref.shape[3]
+    for j in range(rpb):
         row = x_ref[:, j]                            # (A, C, B)
         parts = []
-        if j > 0:
-            parts.append(jnp.full((A, 2 * j, B), fill, x_ref.dtype))
+        if slope * j > 0:
+            parts.append(jnp.full((A, slope * j, B), fill, x_ref.dtype))
         parts.append(row)
-        if 8 - 2 * j > 0:
-            parts.append(jnp.full((A, 8 - 2 * j, B), fill, x_ref.dtype))
+        if 8 - slope * j > 0:
+            parts.append(jnp.full((A, 8 - slope * j, B), fill, x_ref.dtype))
         buf = jnp.concatenate(parts, axis=1)
         o_ref[:, j] = jnp.full_like(o_ref[:, j], fill)
         o_ref[:, j, pl.ds(base, C + 8), :] = buf
 
 
-def skew_p(x, fill, t_round: int = 1, interpret=False):
-    """(A, R, C, B) -> (A, Rp, T, B) with out[:, r, 2r+c] = x[:, r, c],
-    fill elsewhere; Rp = R rounded to 4 rows (fill rows appended) and
-    T = C + 2R - 2 (+ store margin) rounded up to `t_round`.  A Pallas
-    copy kernel: XLA's pad+reshape lowering of the same diagonal
-    relayout runs ~25x slower than the wavefront kernel it feeds."""
+def skew_p(x, fill, t_round: int = 1, slope: int = 2, interpret=False):
+    """(A, R, C, B) -> (A, Rp, T, B) with out[:, r, slope*r+c] =
+    x[:, r, c], fill elsewhere; Rp = R rounded to 8/slope rows (fill
+    rows appended) and T = C + slope*(Rp-1) (+ store margin) rounded
+    up to `t_round`.  A Pallas copy kernel: XLA's pad+reshape lowering
+    of the same diagonal relayout runs ~25x slower than the wavefront
+    kernel it feeds."""
     A, R, C, B = x.shape
-    Rp = -(-R // 4) * 4
-    T = -(-(C + 2 * Rp - 2 + 8) // t_round) * t_round
+    rpb = 8 // slope
+    Rp = -(-R // rpb) * rpb
+    T = -(-(C + slope * (Rp - 1) + 8) // t_round) * t_round
     if Rp != R:
         x = jnp.pad(x, [(0, 0), (0, Rp - R), (0, 0), (0, 0)],
                     constant_values=fill)
     return pl.pallas_call(
-        functools.partial(_skew_kernel, C=C, fill=fill),
-        grid=(Rp // 4,),
-        in_specs=[pl.BlockSpec((A, 4, C, B), lambda k: (0, k, 0, 0),
+        functools.partial(_skew_kernel, C=C, fill=fill, slope=slope,
+                          rpb=rpb),
+        grid=(Rp // rpb,),
+        in_specs=[pl.BlockSpec((A, rpb, C, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((A, 4, T, B), lambda k: (0, k, 0, 0),
+        out_specs=pl.BlockSpec((A, rpb, T, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A, Rp, T, B), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -81,25 +90,26 @@ def skew_p(x, fill, t_round: int = 1, interpret=False):
     )(x)
 
 
-def _unskew_kernel(x_ref, o_ref, *, C):
+def _unskew_kernel(x_ref, o_ref, *, C, slope, rpb):
     k = pl.program_id(0)
     base = pl.multiple_of(8 * k, 8)
-    for j in range(4):
+    for j in range(rpb):
         buf = x_ref[:, j, pl.ds(base, C + 8), :]     # (A, C+8, B)
-        # the residual 2j offset is static: a plain slice, no rotate
-        # (large-amount sublane rolls lower to catastrophic code)
-        o_ref[:, j] = buf[:, 2 * j:2 * j + C, :]
+        # the residual slope*j offset is static: a plain slice, no
+        # rotate (large-amount sublane rolls lower to catastrophic code)
+        o_ref[:, j] = buf[:, slope * j:slope * j + C, :]
 
 
-def unskew_p(y, C: int, R: int, interpret=False):
+def unskew_p(y, C: int, R: int, slope: int = 2, interpret=False):
     """(A, Rp, T, B) -> (A, R, C, B), inverse of `skew_p`."""
     A, Rp, T, B = y.shape
+    rpb = 8 // slope
     out = pl.pallas_call(
-        functools.partial(_unskew_kernel, C=C),
-        grid=(Rp // 4,),
-        in_specs=[pl.BlockSpec((A, 4, T, B), lambda k: (0, k, 0, 0),
+        functools.partial(_unskew_kernel, C=C, slope=slope, rpb=rpb),
+        grid=(Rp // rpb,),
+        in_specs=[pl.BlockSpec((A, rpb, T, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((A, 4, C, B), lambda k: (0, k, 0, 0),
+        out_specs=pl.BlockSpec((A, rpb, C, B), lambda k: (0, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A, Rp, C, B), y.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -149,20 +159,33 @@ def _fh_msg(Lk, mk, p1w, p2w, win):
     return M - mk
 
 
-def _front_update(cc_t, hist, t, *, C, p1, p2, mgm, dir2off, offs, knight,
-                  use_fh, use_weights, w_t, win):
+# per skew slope: canonical offset id -> (front lag, needs row shift).
+# Slope 2 holds for every pass; slope 1 is valid whenever the NE offset
+# (same-front on slope 1) is inactive — axis passes with mgm <= 3 and
+# all knight passes — and shrinks the skewed volume by ~30%.
+OFF_LAG = {
+    2: {0: (1, False), 1: (2, True), 2: (3, True), 3: (1, True),
+        4: (4, True)},
+    1: {0: (1, False), 1: (1, True), 2: (2, True), 4: (3, True)},
+}
+
+
+def max_lag(offs, slope: int) -> int:
+    return max(OFF_LAG[slope][o][0] for o in offs)
+
+
+def _front_update(cc_t, hist, t, *, C, slope, p1, p2, mgm, dir2off, offs,
+                  knight, use_fh, use_weights, w_t, win):
     """One wavefront update.  cc_t: (M, R, L); hist: [(front, mins)] for
     t-1 .. t-D; w_t: per-offset-rank (M, R) weights."""
     M, R, L = cc_t.shape
-    neigh = {
-        0: hist[0],
-        1: (_row_shift(hist[1][0], INF, 1), _row_shift(hist[1][1], INF, 1)),
-        2: (_row_shift(hist[2][0], INF, 1), _row_shift(hist[2][1], INF, 1)),
-        3: (_row_shift(hist[0][0], INF, 1), _row_shift(hist[0][1], INF, 1)),
-    }
-    if knight:
-        neigh[4] = (_row_shift(hist[3][0], INF, 1),
-                    _row_shift(hist[3][1], INF, 1))
+    neigh = {}
+    for off in offs:
+        lag, shift = OFF_LAG[slope][off]
+        f, m = hist[lag - 1]
+        if shift:
+            f, m = _row_shift(f, INF, 1), _row_shift(m, INF, 1)
+        neigh[off] = (f, m)
     msgs = {}
     for rank, off in enumerate(offs):
         Lk, mk = neigh[off]
@@ -188,7 +211,7 @@ def _front_update(cc_t, hist, t, *, C, p1, p2, mgm, dir2off, offs, knight,
             e = e / float(mgm)
 
     jj = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 1)
-    ii = t - 2 * jj
+    ii = t - slope * jj
     if knight:
         # no +x offset; the main dir reaches 2 columns left
         interior = (jj >= 1) & (ii >= 2) & (ii <= C - 1)
@@ -198,8 +221,8 @@ def _front_update(cc_t, hist, t, *, C, p1, p2, mgm, dir2off, offs, knight,
     return new, jnp.min(new, axis=-1)
 
 
-def _kernel(*refs, C, G, D, p1, p2, mgm, dir2off, offs, knight, use_fh,
-            use_weights, fh_restrict):
+def _kernel(*refs, C, G, D, slope, p1, p2, mgm, dir2off, offs, knight,
+            use_fh, use_weights, fh_restrict):
     """One grid step = G consecutive wavefronts.  Scratch slot k holds
     front base-1-k on entry; every access is statically addressed."""
     it = iter(refs)
@@ -220,9 +243,9 @@ def _kernel(*refs, C, G, D, p1, p2, mgm, dir2off, offs, knight, use_fh,
             lab = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 2)
             win = (lab >= lo_t[:, :, None]) & (lab <= hi_t[:, :, None])
         new, mins = _front_update(
-            cc_ref[:, :, u, :], hist, base + u, C=C, p1=p1, p2=p2, mgm=mgm,
-            dir2off=dir2off, offs=offs, knight=knight, use_fh=use_fh,
-            use_weights=use_weights,
+            cc_ref[:, :, u, :], hist, base + u, C=C, slope=slope, p1=p1,
+            p2=p2, mgm=mgm, dir2off=dir2off, offs=offs, knight=knight,
+            use_fh=use_fh, use_weights=use_weights,
             w_t=w_ref[:, :, u, 0] if use_weights else None, win=win)
         out_ref[:, :, u, :] = new
         hist = [(new, mins)] + hist[:-1]
@@ -232,7 +255,7 @@ def _kernel(*refs, C, G, D, p1, p2, mgm, dir2off, offs, knight, use_fh,
 
 
 def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
-                   knight=False, use_fh=False, use_weights=False,
+                   slope=2, knight=False, use_fh=False, use_weights=False,
                    fh_restrict=False, interpret=False):
     """Run the wavefront recursion over a skewed volume.
 
@@ -245,11 +268,11 @@ def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
     M, R, T, L = cc_sk.shape
     assert T % G == 0
     offs = tuple(sorted(set(dir2off)))
-    D = 4 if knight else 3
+    D = max_lag(offs, slope)
     kernel = functools.partial(
-        _kernel, C=C, G=G, D=D, p1=float(p1), p2=float(p2), mgm=mgm,
-        dir2off=tuple(dir2off), offs=offs, knight=knight, use_fh=use_fh,
-        use_weights=use_weights, fh_restrict=fh_restrict)
+        _kernel, C=C, G=G, D=D, slope=slope, p1=float(p1), p2=float(p2),
+        mgm=mgm, dir2off=tuple(dir2off), offs=offs, knight=knight,
+        use_fh=use_fh, use_weights=use_weights, fh_restrict=fh_restrict)
     args = [cc_sk]
     in_specs = [pl.BlockSpec((M, R, G, L), lambda t: (0, 0, t, 0),
                              memory_space=pltpu.VMEM)]
