@@ -1,0 +1,59 @@
+"""Quality evaluation on fountain23 against the bundled ground truth.
+
+Reproduces the BASELINE.md quality metrics (bad-2.0, average endpoint
+error, invalidated fraction; true disparity = -GT, GT range 0..122)
+for any config, so disparity quality can be compared 1:1 with the
+measured reference numbers.
+
+    python scripts/eval_fountain.py            # cfg1
+    python scripts/eval_fountain.py cfg2       # census + trunc-linear
+"""
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from mgm_tpu.config import MGMConfig
+from mgm_tpu.io import read_image
+from mgm_tpu.stereo import compute_disparity
+
+DATA = "/root/reference/data"
+
+CFGS = {
+    "cfg1": MGMConfig(dmin=-120, dmax=30, ndir=4, mgm=2, distance="ad",
+                      p1=8, p2=32, test_lr=True),
+    "cfg1_tsgm4": MGMConfig(dmin=-120, dmax=30, ndir=4, mgm=4,
+                            distance="ad", p1=8, p2=32, test_lr=True),
+    "cfg2": MGMConfig(dmin=-120, dmax=30, ndir=8, mgm=3, distance="census",
+                      p1=2, p2=20000, use_trunc_linear=True,
+                      refinement="vfit", median_radius=1, test_lr=True),
+}
+
+
+def evaluate(disp: np.ndarray, gt: np.ndarray) -> dict:
+    """bad-2.0 / avg err / invalidated over LR-surviving pixels."""
+    true_disp = -gt
+    valid = np.isfinite(disp)
+    err = np.abs(disp - true_disp)[valid]
+    return {
+        "bad_2.0_pct": round(float(np.mean(err > 2.0) * 100), 2),
+        "avg_err_px": round(float(np.mean(err)), 3),
+        "invalidated_pct": round(float(np.mean(~valid) * 100), 2),
+    }
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "cfg1"
+    cfg = CFGS[name]
+    u = read_image(f"{DATA}/fountain23-imL.png")
+    v = read_image(f"{DATA}/fountain23-imR.png")
+    gt = read_image(f"{DATA}/fountain23-truedispL.png")[..., 0]
+    res = compute_disparity(u, v, cfg, outputs=("disp",))
+    out = {"config": name, **evaluate(res["disp"], gt)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
