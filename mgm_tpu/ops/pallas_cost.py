@@ -45,7 +45,8 @@ def _kernel(u_ref, v_ref, out_ref, *, mode, C, W, left, gmin):
                 x = u_ref[:, c, :] ^ sh[:, c, :]
                 p = jax.lax.population_count(x)
                 acc = p if acc is None else acc + p
-            acc = acc.astype(jnp.float32) * (1.0 / C)
+            # Mosaic lacks a direct uint32->f32 cast; popcounts fit int32
+            acc = acc.astype(jnp.int32).astype(jnp.float32) * (1.0 / C)
         elif mode in ("btad", "btsd"):
             # channel blocks: [I, Imin, Imax] for each side
             for c in range(C):
