@@ -391,7 +391,7 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
     # chunk size: VMEM working set plus an HBM cap of ~2 GiB per skewed
     # buffer (tile-padded trailing dims) so big problems schedule
     # chunk by chunk
-    G, m_vmem = pw.pick_block(R, L)
+    G, m_vmem = pw.pick_block(R, L, heavy=use_fh)
     if interpret:
         # the interpreter pays per-front graph size, not per-step DMA;
         # G=2 still exercises both the in-block and cross-block paths

@@ -307,7 +307,7 @@ def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
     )(*args)
 
 
-def pick_block(R: int, L: int):
+def pick_block(R: int, L: int, heavy: bool = False):
     """(G, m_max): wavefront block depth and the largest pass-x-problem
     chunk whose working set fits VMEM.  Budget: double-buffered in+out
     G-deep slabs + 4 resident fronts + ~12 front-sized intermediates;
@@ -322,6 +322,10 @@ def pick_block(R: int, L: int):
     # double-buffered fronts + history + ~9 live intermediates
     # (front-sized, not G-scaled).
     g_cap = int(os.environ.get("MGM_TPU_MAX_G", "16"))
+    if heavy:
+        # FH min-conv bodies are ~log2(L) x bigger; deep unrolls OOM
+        # the TPU compile helper
+        g_cap = min(g_cap, 8)
     for G, M in ((16, 2), (8, 2), (16, 1), (8, 1)):
         if G <= g_cap and (4 * G + 13) * M * per_front <= VMEM_LIMIT:
             return G, M
