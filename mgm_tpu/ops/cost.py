@@ -180,7 +180,10 @@ def _ncc_costs(u, v, gmin, L, win):
         ok = p_ok[None, :] & q_ok[None, :] & y_ok[:, None]
         return jnp.where(ok, clipped, INF)
 
-    return jnp.stack([per_label(l) for l in range(L)], axis=-1)
+    # lax.map, not a Python unroll: L-fold unrolled box filters send the
+    # TPU toolchain's compile time through the roof
+    costs = jax.lax.map(per_label, jnp.arange(L))       # (L, H, W)
+    return jnp.moveaxis(costs, 0, -1)
 
 
 @partial(jax.jit, static_argnames=("gmin", "distance", "L", "trunc_dist",

@@ -70,3 +70,45 @@ def test_solve_tiled_matches_mrf(rng):
     disp, cost = solve_tiled(mesh, jnp.asarray(unary)[None],
                              p1=8.0 * 1, p2=32.0 * 1, ndir=8, mgm=2)
     np.testing.assert_array_equal(np.asarray(disp[0]), want)
+
+
+@pytest.mark.parametrize("ndir,mgm", [(4, 2), (8, 4), (16, 4)])
+def test_halo_aggregate_exact(rng, ndir, mgm):
+    """Explicit halo-exchange tiled recursion == single-device
+    aggregation (the halo carries the full directional state,
+    SURVEY.md 'halo-exact tiled recursion').  Bitwise when the pass
+    grouping matches (mgm=2); at mgm=4 the single-device xla backend
+    mixes axis+diag passes into one scan, so the sums of identical
+    per-pass volumes associate differently -> float-epsilon tolerance.
+    """
+    from mgm_tpu.ops.aggregate import aggregate
+    from mgm_tpu.parallel.halo import halo_aggregate
+
+    N, H, W, L = 2, 16, 8, 6
+    cc = jnp.asarray(rng.uniform(0, 50, (N, H, W, L)).astype(np.float32))
+    want = aggregate(cc, None, None, None, p1=8.0, p2=32.0, ndir=ndir,
+                     mgm=mgm, backend="xla")
+    mesh = make_mesh(4)
+    got = halo_aggregate(mesh, cc, p1=8.0, p2=32.0, ndir=ndir, mgm=mgm)
+    if mgm == 2:
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    else:
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-3, rtol=1e-6)
+
+
+def test_halo_aggregate_weighted_fh(rng):
+    from mgm_tpu.ops.aggregate import aggregate
+    from mgm_tpu.parallel.halo import halo_aggregate
+
+    N, H, W, L = 1, 16, 8, 6
+    cc = jnp.asarray(rng.uniform(0, 50, (N, H, W, L)).astype(np.float32))
+    w8 = jnp.asarray(np.where(rng.random((N, H, W, 8)) < 0.5, 0.25, 1.0)
+                     .astype(np.float32))
+    want = aggregate(cc, w8, None, None, p1=5.0, p2=19.0, ndir=8, mgm=4,
+                     use_fh=True, use_weights=True, backend="xla")
+    mesh = make_mesh(4)
+    got = halo_aggregate(mesh, cc, w8, p1=5.0, p2=19.0, ndir=8, mgm=4,
+                         use_fh=True, use_weights=True)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               atol=1e-3, rtol=1e-6)
