@@ -21,6 +21,12 @@ TPU-native scaling design that replaces it:
 This keeps one code path for 1 and N devices: `sharded_solve` is the
 same `mgm_solve` jitted with sharded inputs, and tiled == single-device
 output equality is asserted in tests/test_sharding.py.
+
+`parallel.halo.halo_aggregate` is the explicit-collective counterpart:
+the same recursion written as a shard_map pipeline that ppermutes one
+boundary row of directional state per wavefront step — the pattern to
+scale onto real multi-chip ICI (and multi-host DCN) where the
+auto-partitioner's choices need to be pinned down.
 """
 from __future__ import annotations
 
