@@ -38,7 +38,7 @@ def main():
         jax.clear_caches()
         compute_disparity(u, v, cfg, outputs=("disp", "cost"))
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         compute_disparity(u, v, cfg, outputs=("disp", "cost"))
         times.append(time.perf_counter() - t0)
