@@ -3,7 +3,14 @@
 Config (BASELINE.json cfg1): AD cost, -r -120 -R 30 (L=151), -O 4,
 TSGM=2, default P1/P2, LR consistency check on (both sides solved).
 Reference serial-CPU baseline: 18.2 s = 5.8 MP*disp/s over 2 sides
-(BASELINE.md).  Prints one JSON line with measured MP*disp/s.
+(BASELINE.md).
+
+Prints the result JSON line after EVERY timed rep that improves the
+best time (each line is a complete, valid record): the TPU toolchain's
+remote compile service is high-variance (2-40 min when the persistent
+compile cache misses), so a partial run must still yield a number.
+The cache under ~/.cache/mgm_tpu_xla is pre-warmed during normal
+development runs of this exact config.
 """
 import json
 import os
@@ -13,6 +20,8 @@ import time
 import numpy as np
 
 BASELINE_MPDS = 5.8  # reference binary, same config, 1-core Xeon 2.10 GHz
+REPS = int(os.environ.get("MGM_TPU_BENCH_REPS", "3"))
+
 
 def main():
     from mgm_tpu.config import MGMConfig
@@ -27,8 +36,11 @@ def main():
     L = cfg.dmax - cfg.dmin + 1
     mpd = 2 * H * W * L / 1e6  # both sides
 
+    def run():
+        return compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+
     try:
-        compute_disparity(u, v, cfg, outputs=("disp", "cost"))  # warmup
+        run()  # warmup (compile; fast when the persistent cache is warm)
     except Exception:
         # the remote TPU compile service intermittently OOM-kills big
         # kernel compiles; retry with a shallower wavefront block
@@ -36,20 +48,23 @@ def main():
 
         os.environ["MGM_TPU_MAX_G"] = "8"
         jax.clear_caches()
-        compute_disparity(u, v, cfg, outputs=("disp", "cost"))
-    times = []
-    for _ in range(5):
+        run()
+
+    best = None
+    for _ in range(REPS):
         t0 = time.perf_counter()
-        compute_disparity(u, v, cfg, outputs=("disp", "cost"))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    value = mpd / dt
-    print(json.dumps({
-        "metric": "fountain23 cfg1 (AD, L=151, O4, TSGM=2, LR) throughput",
-        "value": round(value, 2),
-        "unit": "MP*disp/s",
-        "vs_baseline": round(value / BASELINE_MPDS, 2),
-    }))
+        run()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+            value = mpd / best
+            print(json.dumps({
+                "metric": ("fountain23 cfg1 (AD, L=151, O4, TSGM=2, LR) "
+                           "throughput"),
+                "value": round(value, 2),
+                "unit": "MP*disp/s",
+                "vs_baseline": round(value / BASELINE_MPDS, 2),
+            }), flush=True)
     return 0
 
 

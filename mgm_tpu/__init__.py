@@ -17,6 +17,53 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/mgm_tpu_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
+
+def _configure_compilation_cache():
+    """jax may already be imported when this package loads (some
+    environments preload it from sitecustomize), in which case the env
+    vars above were read too late — set the config values directly."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(_os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
+
+
+_configure_compilation_cache()
+
+
+def _enable_cache_on_experimental_platforms():
+    """jax gates the persistent compile cache on a platform allowlist
+    (tpu/gpu/cpu/neuron); experimental PJRT platforms (e.g. remote-attached
+    TPU tunnels) are excluded even when their backend serializes
+    executables fine.  Compiles there go through a remote service with
+    2-40 min queueing variance, which is exactly where caching matters
+    most, so opt such backends in when they support serialization."""
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _orig = _cc.is_cache_used
+
+        def _is_cache_used(backend):
+            if (_cc._is_cache_enabled()
+                    and getattr(backend, "supports_executable_serialization",
+                                True)):
+                with _cc._cache_initialized_mutex:
+                    _cc._cache_checked = True
+                    _cc._cache_used = True
+                return True
+            return _orig(backend)
+
+        _cc.is_cache_used = _is_cache_used
+    except Exception:  # pragma: no cover - jax internals moved; fall back
+        pass
+
+
+_enable_cache_on_experimental_platforms()
+
 from .config import MGMConfig
 from .stereo import compute_disparity
 from .mrf import solve_mrf

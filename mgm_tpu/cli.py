@@ -48,6 +48,9 @@ Options:
  -m FILE {none}    Per-pixel minimum disparity image.
  -M FILE {none}    Per-pixel maximum disparity image.
  -l FILE {none}    Write the disparity before the LR test here.
+ -preset {none}    Named pipeline preset (fast_ad, census_tl, sobelx_tl,
+                   satellite, full_16dir, ncc, bt); explicitly given
+                   flags and env vars override the preset's values.
 
 Environment: CENSUS_NCC_WIN=3 TESTLRRL=1 TESTLRRL_TAU=1 MEDIAN=0 TSGM=4
 TSGM_ITER=1 TSGM_FIX_OVERCOUNT=1 USE_TRUNCATED_LINEAR_POTENTIALS=0
@@ -79,6 +82,10 @@ def main(argv=None) -> int:
         print("mgm-tpu 1.0")
         return 0
 
+    flag_names = ["r", "R", "O", "P1", "P2", "p", "t", "truncDist", "s",
+                  "aP1", "aP2", "aThresh", "m", "M", "l"]
+    explicit = {n for n in flag_names if ("-" + n) in argv}
+    preset = pick_option(argv, "preset", "")
     opts = {}
     for name, dflt in [("r", "-30"), ("R", "30"), ("O", "4"), ("P1", "8"),
                        ("P2", "32"), ("p", "none"), ("t", "ad"),
@@ -99,24 +106,53 @@ def main(argv=None) -> int:
         print(f"NDIR={ndir} unsupported; using 16", file=sys.stderr)
         ndir = 16
 
-    cfg = MGMConfig(
-        dmin=int(float(opts["r"])), dmax=int(float(opts["R"])),
-        ndir=ndir,
-        p1=float(opts["P1"]), p2=float(opts["P2"]),
-        prefilter=opts["p"], distance=opts["t"], refinement=opts["s"],
-        trunc_dist=float(opts["truncDist"]),
-        a_p1=float(opts["aP1"]), a_p2=float(opts["aP2"]),
-        a_thresh=float(opts["aThresh"]),
-        census_ncc_win=int(env_float("CENSUS_NCC_WIN", 3)),
-        mgm=int(env_float("TSGM", 4)),
-        use_trunc_linear=bool(env_float("USE_TRUNCATED_LINEAR_POTENTIALS", 0)),
-        fix_overcount=bool(env_float("TSGM_FIX_OVERCOUNT", 1)),
-        iterations=int(env_float("TSGM_ITER", 1)),
-        median_radius=int(env_float("MEDIAN", 0)),
-        test_lr=bool(env_float("TESTLRRL", 1)),
-        lr_tau=env_float("TESTLRRL_TAU", 1.0),
-        debug=bool(env_float("TSGM_DEBUG", 0)),
-    )
+    # flag/env -> MGMConfig field, value parser
+    flag_fields = {
+        "r": ("dmin", lambda v: int(float(v))),
+        "R": ("dmax", lambda v: int(float(v))),
+        "O": ("ndir", lambda v: ndir),
+        "P1": ("p1", float), "P2": ("p2", float),
+        "p": ("prefilter", str), "t": ("distance", str),
+        "s": ("refinement", str),
+        "truncDist": ("trunc_dist", float),
+        "aP1": ("a_p1", float), "aP2": ("a_p2", float),
+        "aThresh": ("a_thresh", float),
+    }
+    env_fields = {
+        "CENSUS_NCC_WIN": ("census_ncc_win", lambda v: int(float(v))),
+        "TSGM": ("mgm", lambda v: int(float(v))),
+        "USE_TRUNCATED_LINEAR_POTENTIALS":
+            ("use_trunc_linear", lambda v: bool(float(v))),
+        "TSGM_FIX_OVERCOUNT": ("fix_overcount", lambda v: bool(float(v))),
+        "TSGM_ITER": ("iterations", lambda v: int(float(v))),
+        "MEDIAN": ("median_radius", lambda v: int(float(v))),
+        "TESTLRRL": ("test_lr", lambda v: bool(float(v))),
+        "TESTLRRL_TAU": ("lr_tau", float),
+        "TSGM_DEBUG": ("debug", lambda v: bool(float(v))),
+    }
+    if preset:
+        from .models.presets import get_preset
+
+        try:
+            cfg = get_preset(preset)
+        except KeyError:
+            print(f"unknown preset {preset!r}", file=sys.stderr)
+            return 1
+        # only explicitly-given flags / set env vars override the preset
+        over = {fld: conv(opts[n]) for n, (fld, conv) in flag_fields.items()
+                if n in explicit}
+        over.update({fld: conv(os.environ[n])
+                     for n, (fld, conv) in env_fields.items()
+                     if os.environ.get(n) not in (None, "")})
+        cfg = cfg.replace(**over)
+    else:
+        # defaults of the dataclass == reference defaults; set env vars
+        # override them (mgm.cc:186-196)
+        kw = {fld: conv(opts[n]) for n, (fld, conv) in flag_fields.items()}
+        kw.update({fld: conv(os.environ[n])
+                   for n, (fld, conv) in env_fields.items()
+                   if os.environ.get(n) not in (None, "")})
+        cfg = MGMConfig(**kw)
 
     u = read_image(f_u)
     v = read_image(f_v)

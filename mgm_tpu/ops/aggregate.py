@@ -187,13 +187,15 @@ def _dir2off(spec: PassSpec):
     return DIAG_DIR2OFF if spec.diag else AXIS_DIR2OFF
 
 
-def _pass_groups(ndir: int, mgm: int, homogeneous: bool = False):
+def _pass_groups(ndir: int, mgm: int, homogeneous: bool = False,
+                 pids=None):
     """Group passes runnable in one batched scan: same canonical shape
     (row_major) and, when mgm < 4 or `homogeneous`, same class so the
     dir->offset order is static.  Knight passes always group alone
-    (their offset set and border differ)."""
+    (their offset set and border differ).  `pids` restricts grouping to
+    an explicit pass subset (the fused path's leftovers)."""
     groups = {}
-    for p in range(ndir):
+    for p in (range(ndir) if pids is None else pids):
         spec = PASS_TABLE[p]
         if spec.knight:
             key = (spec.row_major, "knight")
@@ -434,11 +436,12 @@ def _use_pallas() -> bool:
 
 
 @partial(jax.jit, static_argnames=("p1", "p2", "ndir", "mgm", "use_fh",
-                                   "use_weights", "fh_restrict", "backend"))
+                                   "use_weights", "fh_restrict", "backend",
+                                   "pids"))
 def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
               ndir: int, mgm: int, use_fh: bool = False,
               use_weights: bool = False, fh_restrict: bool = False,
-              backend: str = "auto"):
+              backend: str = "auto", pids: tuple | None = None):
     """Sum over the first `ndir` directional passes of the aggregated
     volumes Lr (before the S-window clip / overcount fix, which are
     applied by the solver).
@@ -461,14 +464,15 @@ def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
         # min-conv instead of the window-restricted one (mgm_core.cc:208)
         fh_restrict = not ((mgm == 2) and (not use_weights))
     out = None
-    for pids in _pass_groups(ndir, mgm, homogeneous=backend != "xla"):
+    for gp in _pass_groups(ndir, mgm, homogeneous=backend != "xla",
+                           pids=pids):
         if backend == "xla":
-            part = _run_group(pids, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm,
+            part = _run_group(gp, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm,
                               use_fh=use_fh, use_weights=use_weights,
                               fh_restrict=fh_restrict, div_each=div_each)
         else:
             part = _run_group_pallas(
-                pids, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm, use_fh=use_fh,
+                gp, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm, use_fh=use_fh,
                 use_weights=use_weights, fh_restrict=fh_restrict,
                 interpret=backend == "interpret")
         out = part if out is None else out + part

@@ -75,10 +75,16 @@ def _box(a, hw):
 
 
 def _pointwise_pallas(u, v, gmin: int, L: int, distance: str, interpret):
-    """Pallas cost kernel path (ad/sd/census/bt); returns (H, W, L)."""
-    from .pallas_cost import pointwise_volume
+    """Pallas cost kernel path (ad/sd/census/bt); returns (H, W, L).
+    Falls back to the XLA path when even a 128-row chunk of the
+    image-resident working set exceeds the VMEM budget."""
+    from .pallas_cost import pointwise_volume, _vmem_bytes, VMEM_LIMIT
 
     H, W, C = u.shape
+    ck = 3 * C if distance in ("btad", "btsd") else C
+    wp = W + max(0, -gmin) + max(0, gmin + L - 1)
+    if _vmem_bytes(W, wp, ck, min(H, 128)) > VMEM_LIMIT:
+        return None
     if distance in ("btad", "btsd"):
         umin, umax = _bt_aux(u)
         vmin, vmax = _bt_aux(v)
@@ -103,8 +109,10 @@ def pointwise_costs(u, v, gmin: int, L: int, distance: str, ncc_win: int,
         backend = ("pallas" if jax.devices()[0].platform != "cpu"
                    else "xla")
     if backend != "xla" and distance != "ncc":
-        return _pointwise_pallas(u, v, gmin, L, distance,
-                                 interpret=backend == "interpret")
+        out = _pointwise_pallas(u, v, gmin, L, distance,
+                                interpret=backend == "interpret")
+        if out is not None:
+            return out
     if distance == "census":
         inv_nw = jnp.float32(1.0 / u.shape[2])
 

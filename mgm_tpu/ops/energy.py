@@ -37,9 +37,15 @@ def evaluate_energy_4connected(disp, cc, lo, hi, gmin, *, p1, p2,
     (+inf outside windows); gmin: disparity of label 0.
     Returns (total_energy, per_pixel_image)."""
     H, W, L = cc.shape
-    # data term: CC[p][(int)o] with Dvec inf-out-of-range semantics
-    o = disp - jnp.float32(gmin)
-    oi = jnp.nan_to_num(o, nan=-1.0, posinf=-1.0, neginf=-1.0).astype(jnp.int32)
+    # data term: CC[p][o] implicitly converts the RAW float disparity to
+    # int (truncation toward zero, mgm_print_energy.h:46 + dvec.cc:129)
+    # *before* the window-min offset is applied; truncating (o - gmin)
+    # instead would pick the wrong cell for fractional negative
+    # disparities.
+    di = jnp.nan_to_num(disp, nan=jnp.float32(gmin) - 1.0,
+                        posinf=jnp.float32(gmin) - 1.0,
+                        neginf=jnp.float32(gmin) - 1.0).astype(jnp.int32)
+    oi = di - jnp.int32(gmin)
     in_rng = jnp.isfinite(disp) & (oi >= lo) & (oi <= hi) & (oi >= 0) & (oi < L)
     data = jnp.where(
         in_rng,

@@ -68,30 +68,52 @@ def _kernel(u_ref, v_ref, out_ref, *, mode, C, W, left, gmin):
         out_ref[dl] = acc
 
 
+def _vmem_bytes(W, Wp, Ck, HB):
+    """Working-set estimate for one grid step: both image slabs resident
+    (fetched once, constant index map) + double-buffered output blocks
+    + headroom for the kernel's live intermediates."""
+    ckp = -(-Ck // 8) * 8
+    hp = -(-HB // 128) * 128
+    imgs = (W + Wp) * ckp * hp * 4
+    outs = 2 * LB * (-(-W // 8) * 8) * hp * 4
+    return imgs + outs + 4 * LB * hp * 8 * 4
+
+
 def pointwise_volume(u_t, v_pad_t, *, mode: str, C: int, W: int, L: int,
                      left: int, gmin: int, interpret=False):
     """u_t: (W, Ck, H) column-major left image; v_pad_t: (Wp, Ck, H)
     edge-padded right image (the label shift is a dynamic slice of the
-    untiled leading axis).  Returns (L, W, H) float32 raw costs."""
+    untiled leading axis).  Returns (L, W, H) float32 raw costs.
+
+    Large images are chunked over rows (a second grid axis) so the
+    VMEM working set stays under budget at any image size."""
     W_, Ck, H = u_t.shape
     Lp = -(-L // LB) * LB
     # pad the shift range so the padded labels stay in bounds
     v_pad_t = jnp.pad(v_pad_t, [(0, Lp - L), (0, 0), (0, 0)], mode="edge")
     Wp = v_pad_t.shape[0]
+    # shrink the row chunk until the working set fits the VMEM budget
+    HB = -(-H // 128) * 128
+    while HB > 128 and _vmem_bytes(W, Wp, Ck, HB) > VMEM_LIMIT:
+        HB -= 128
+    Hp = -(-H // HB) * HB
+    if Hp != H:
+        u_t = jnp.pad(u_t, [(0, 0), (0, 0), (0, Hp - H)])
+        v_pad_t = jnp.pad(v_pad_t, [(0, 0), (0, 0), (0, Hp - H)])
     kernel = functools.partial(_kernel, mode=mode, C=C, W=W, left=left,
                                gmin=gmin)
     out = pl.pallas_call(
         kernel,
-        grid=(Lp // LB,),
+        grid=(Lp // LB, Hp // HB),
         in_specs=[
-            pl.BlockSpec((W, Ck, H), lambda l: (0, 0, 0),
+            pl.BlockSpec((W, Ck, HB), lambda l, h: (0, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wp, Ck, H), lambda l: (0, 0, 0),
+            pl.BlockSpec((Wp, Ck, HB), lambda l, h: (0, 0, h),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LB, W, H), lambda l: (l, 0, 0),
+        out_specs=pl.BlockSpec((LB, W, HB), lambda l, h: (l, 0, h),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Lp, W, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Lp, W, Hp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=Lp * H * W * C * 4,
             bytes_accessed=(2 * Ck * H * W + Lp * H * W) * 4,
@@ -99,4 +121,4 @@ def pointwise_volume(u_t, v_pad_t, *, mode: str, C: int, W: int, L: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(u_t, v_pad_t)
-    return out[:L]
+    return out[:L, :, :H]

@@ -329,4 +329,9 @@ def pick_block(R: int, L: int, heavy: bool = False):
     for G, M in ((16, 2), (8, 2), (16, 1), (8, 1)):
         if G <= g_cap and (4 * G + 13) * M * per_front <= VMEM_LIMIT:
             return G, M
+    if (4 * 8 + 13) * per_front > VMEM_LIMIT:
+        raise ValueError(
+            f"wavefront working set for R={R}, L={L} exceeds the VMEM "
+            f"budget even at G=8; shard the rows across devices "
+            f"(parallel.halo.halo_aggregate) or tile the image")
     return min(8, g_cap), 1

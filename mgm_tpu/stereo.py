@@ -30,6 +30,7 @@ from .config import MGMConfig
 from .ops import post
 from .ops.census import census_transform
 from .ops.cost import build_cost_volume
+from .ops.fused import mgm_solve_fused
 from .ops.prefilter import apply_prefilter
 from .ops.refine import subpixel_refine
 from .ops.weights import compute_weights
@@ -66,9 +67,42 @@ def _build_volumes(u, v, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
     return jnp.stack(ccs), w8, u, v
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_sides"))
+def _prep_fused(u, v, *, cfg: MGMConfig, n_sides: int):
+    """Scrub + weights + prefilter for the fused solve (no cost volume:
+    the fused kernel computes costs in-flight from these images)."""
+    u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
+    v = jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+    w_u = compute_weights(u, cfg.a_p2, cfg.a_thresh)
+    w_v = compute_weights(v, cfg.a_p2, cfg.a_thresh)
+    w8 = jnp.stack([w_u, w_v][:n_sides])
+    return _preprocess(u, cfg), _preprocess(v, cfg), w8, u, v
+
+
+def _fused_backend(cfg: MGMConfig, per_pixel: bool):
+    """Fused cost+wavefront path eligibility: constant label windows and
+    a pointwise cost family; NCC needs per-label box filters and stays
+    on the volume path."""
+    if per_pixel or cfg.distance == "ncc":
+        return None
+    mode = os.environ.get("MGM_TPU_FUSED", "1")
+    if mode == "0":
+        return None
+    if jax.devices()[0].platform == "cpu":
+        # the Pallas interpreter is too slow for full images; tests
+        # opt in explicitly on crops
+        return "interpret" if mode == "interpret" else None
+    return "fused"
+
+
 @partial(jax.jit, static_argnames=("method",))
 def _refine(S, disp, cost, s_lo, s_hi, gmin, *, method):
     return subpixel_refine(S, disp, cost, s_lo, s_hi, gmin, method=method)
+
+
+@jax.jit
+def _any_weighted(w8):
+    return jnp.any(w8 != 1.0)
 
 
 @jax.jit
@@ -107,13 +141,21 @@ def _mark(tag, prof, x=None):
 def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                       dmin_img: np.ndarray | None = None,
                       dmax_img: np.ndarray | None = None,
-                      outputs: tuple | None = None) -> dict:
+                      outputs: tuple | None = None,
+                      mesh=None) -> dict:
     """Host entry point.  u, v: (H, W, C) float arrays.
 
     Returns dict with 'disp', 'cost', 'disp_nolr', 'backflow' (left
     side) and 'disp_right', 'cost_right' when the LR check ran.
     `outputs` restricts which keys are fetched to the host (device->host
     transfers dominate small-problem latency on remote-attached TPUs).
+
+    `mesh`: a 1-D jax.sharding.Mesh (axis "y") shards the WHOLE
+    pipeline — weights, cost volumes, the directional recursions,
+    refinement and post-processing — over the image rows; the XLA SPMD
+    partitioner turns the wavefront scans' one-row shifts into per-step
+    boundary-row collective-permutes (SURVEY.md 2.9).  H must divide
+    the mesh size.
     """
     prof = [time.perf_counter()] if os.environ.get("MGM_TPU_PROFILE") else None
     u = np.asarray(u, np.float32)
@@ -148,8 +190,11 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         L = gmax_l - gmin_l + 1
         gmin = np.array([gmin_l], np.int32)
 
-    # all-ones weights iff a_p2 == 1, exactly the reference's dynamic
-    # scan outcome (mgm_core.cc:420-423; w != 1 requires aP != 1)
+    # the reference scans the weight image for any value != 1
+    # (mgm_core.cc:420-423); w != 1 requires aP != 1, so the scan is
+    # skipped statically in the common a_p2 == 1 case and resolved
+    # against the actual weights (one scalar fetch) otherwise — degenerate
+    # images can produce all-ones weights even with a_p2 != 1.
     use_weights = cfg.a_p2 != 1.0
 
     if per_pixel:
@@ -183,26 +228,71 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
     p2 = cfg.p2 * C
 
+    fused = _fused_backend(cfg, per_pixel) if mesh is None else None
+    backend = "auto"
+    u_dev, v_dev = jnp.asarray(u), jnp.asarray(v)
+    if mesh is not None:
+        # row-shard every pipeline input; jit propagates the shardings
+        # through all stages.  The Pallas kernels are single-device
+        # programs, so the sharded pipeline runs the XLA scan path.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        backend = "xla"
+        img_s = NamedSharding(mesh, P("y", None, None))
+        plane_s = NamedSharding(mesh, P(None, "y", None))
+        u_dev = jax.device_put(u_dev, img_s)
+        v_dev = jax.device_put(v_dev, img_s)
+        lo_idx = jax.device_put(lo_idx, plane_s)
+        hi_idx = jax.device_put(hi_idx, plane_s)
+        flo_j = jax.device_put(flo_j, plane_s)
+        fhi_j = jax.device_put(fhi_j, plane_s)
+        gmin_j = jax.device_put(gmin_j, NamedSharding(mesh, P(None)))
     _mark("host prep", prof, (lo_idx, hi_idx))
-    cc, w8, u_j, v_j = _build_volumes(jnp.asarray(u), jnp.asarray(v),
-                                      lo_idx, hi_idx,
-                                      cfg=cfg, L=int(L),
-                                      gmins=tuple(int(g) for g in gmin),
-                                      n_sides=n_sides)
+    cc = None
+    if fused:
+        u_p, v_p, w8, u_j, v_j = _prep_fused(
+            u_dev, v_dev, cfg=cfg, n_sides=n_sides)
+        sides = tuple((int(gmin[n]), int(los[n]), int(his[n]))
+                      for n in range(n_sides))
+    else:
+        cc, w8, u_j, v_j = _build_volumes(u_dev, v_dev,
+                                          lo_idx, hi_idx,
+                                          cfg=cfg, L=int(L),
+                                          gmins=tuple(int(g) for g in gmin),
+                                          n_sides=n_sides)
     _mark("weights + cost volumes", prof, (cc, w8))
+    if use_weights:
+        use_weights = bool(np.asarray(_any_weighted(w8)))
 
     s_lo, s_hi = lo_idx, hi_idx
     disp = cost = None
     for it in range(cfg.iterations):
-        S, disp, cost = mgm_solve(
-            cc, w8 if use_weights else None, lo_idx, hi_idx, s_lo, s_hi,
-            gmin_j, p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
-            use_fh=cfg.use_trunc_linear, use_weights=use_weights,
-            per_pixel=per_pixel, fix_overcount=cfg.fix_overcount)
+        if fused:
+            S, disp, cost = mgm_solve_fused(
+                u_p, v_p, w8 if use_weights else None, s_lo, s_hi,
+                sides=sides, L=int(L), ndir=cfg.ndir, mgm=cfg.mgm,
+                p1=p1, p2=p2, mode=cfg.distance, nch=int(u_p.shape[2]),
+                trunc_dist=cfg.trunc_dist, use_fh=cfg.use_trunc_linear,
+                use_weights=use_weights,
+                fix_overcount=cfg.fix_overcount, backend=fused)
+        else:
+            S, disp, cost = mgm_solve(
+                cc, w8 if use_weights else None, lo_idx, hi_idx, s_lo, s_hi,
+                gmin_j, p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
+                use_fh=cfg.use_trunc_linear, use_weights=use_weights,
+                per_pixel=per_pixel, fix_overcount=cfg.fix_overcount,
+                backend=backend)
         if cfg.debug:
             # per-iteration energy audit (TSGM_DEBUG, mgm_print_energy.h)
             from .ops.energy import print_solution_energy
-            print_solution_energy(disp[0], cc[0], lo_idx[0], hi_idx[0],
+            if cc is None:
+                cc0 = build_cost_volume(
+                    u_p, v_p, lo_idx[0], hi_idx[0], int(gmin[0]),
+                    distance=cfg.distance, L=int(L),
+                    trunc_dist=cfg.trunc_dist, ncc_win=cfg.census_ncc_win)
+            else:
+                cc0 = cc[0]
+            print_solution_energy(disp[0], cc0, lo_idx[0], hi_idx[0],
                                   gmin[0], p1, p2,
                                   dump_path="/tmp/ENERGY_L1trunc.tif")
         _mark("mgm solve", prof, (S, disp, cost))

@@ -1,0 +1,146 @@
+"""Fused cost+wavefront path vs the dense-volume solver.
+
+mgm_solve_fused computes the cost volume inside the wavefront kernel
+(ops/pallas_fused.py); these tests pin it to solver.mgm_solve on the
+equivalent dense volume across the config grid, in Pallas interpret
+mode on CPU.  Disparity mismatches are accepted only at exact argmin
+ties (the overcount fold changes float association by one step).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mgm_tpu.ops.fused import mgm_solve_fused, fused_spec, split_passes
+from mgm_tpu.ops.cost import build_cost_volume
+from mgm_tpu.solver import mgm_solve
+
+
+def _compare(rng, H=18, W=29, dmin=-6, dmax=4, ndir=4, mgm=2, mode="ad",
+             C=2, use_fh=False, use_weights=False, fix_overcount=True,
+             test_lr=True, trunc_dist=float("inf"), p1=8.0, p2=32.0):
+    u = rng.uniform(0, 80, (H, W, C)).astype(np.float32)
+    v = rng.uniform(0, 80, (H, W, C)).astype(np.float32)
+    L = dmax - dmin + 1
+    sides = ((dmin, 0, L - 1),)
+    if test_lr:
+        sides += ((-dmax, 0, L - 1),)
+    N = len(sides)
+    if mode == "census":
+        from mgm_tpu.ops.census import census_transform
+        u_p = census_transform(jnp.asarray(u), 1)
+        v_p = census_transform(jnp.asarray(v), 1)
+    else:
+        u_p, v_p = jnp.asarray(u), jnp.asarray(v)
+    nch = u_p.shape[2]
+    w8 = None
+    if use_weights:
+        w8 = jnp.asarray(
+            np.where(rng.random((N, H, W, 8)) < 0.5, 0.25, 1.0)
+            .astype(np.float32))
+
+    lefts, rights = [u_p, v_p][:N], [v_p, u_p][:N]
+    lo = jnp.zeros((N, H, W), jnp.int32)
+    hi = jnp.full((N, H, W), L - 1, jnp.int32)
+    cc = jnp.stack([
+        build_cost_volume(lefts[n], rights[n], lo[n], hi[n], g,
+                          distance=mode, L=L, trunc_dist=trunc_dist,
+                          backend="xla")
+        for n, (g, _, _) in enumerate(sides)])
+    gmins = jnp.asarray([g for g, _, _ in sides], jnp.int32)
+    S0, d0, c0 = mgm_solve(cc, w8, lo, hi, lo, hi, gmins, p1=p1, p2=p2,
+                           ndir=ndir, mgm=mgm, use_fh=use_fh,
+                           use_weights=use_weights, per_pixel=False,
+                           fix_overcount=fix_overcount)
+    S1, d1, c1 = mgm_solve_fused(u_p, v_p, w8, lo, hi, sides=sides, L=L,
+                                 ndir=ndir, mgm=mgm, p1=p1, p2=p2,
+                                 mode=mode, nch=nch,
+                                 trunc_dist=trunc_dist, use_fh=use_fh,
+                                 use_weights=use_weights,
+                                 fix_overcount=fix_overcount,
+                                 backend="interpret")
+    S0, d0, c0, S1, d1, c1 = map(np.asarray, (S0, d0, c0, S1, d1, c1))
+
+    f0, f1 = np.isfinite(S0), np.isfinite(S1)
+    np.testing.assert_array_equal(f0, f1)
+    scale = max(1.0, np.abs(S0[f0]).max()) if f0.any() else 1.0
+    np.testing.assert_allclose(S1[f0], S0[f0], atol=3e-5 * scale,
+                               rtol=1e-5)
+    np.testing.assert_allclose(c1, c0, atol=3e-5 * scale, rtol=1e-5,
+                               equal_nan=True)
+    # disparities equal except at exact argmin ties flipped by the
+    # overcount fold's float association
+    diff = np.argwhere(d0 != d1)
+    for n, y, x in diff:
+        la = int(d0[n, y, x]) - sides[n][0]
+        lb = int(d1[n, y, x]) - sides[n][0]
+        assert abs(S0[n, y, x, la] - S0[n, y, x, lb]) <= 3e-5 * scale, \
+            f"non-tie disparity mismatch at {(n, y, x)}"
+
+
+CASES = [
+    dict(ndir=1, mgm=1),
+    dict(ndir=4, mgm=2),
+    dict(ndir=4, mgm=2, test_lr=False),
+    dict(ndir=4, mgm=2, mode="census", C=1),
+    dict(ndir=4, mgm=2, mode="btad"),
+    dict(ndir=8, mgm=4),
+    dict(ndir=8, mgm=3),
+    dict(ndir=8, mgm=2, use_weights=True),
+    dict(ndir=8, mgm=3, use_fh=True, p1=2.0, p2=50.0),
+    dict(ndir=8, mgm=3, use_weights=True, use_fh=True),
+    dict(ndir=4, mgm=2, trunc_dist=20.0),
+    dict(ndir=4, mgm=2, dmin=-40, dmax=26),   # window wider than image
+    dict(ndir=4, mgm=2, fix_overcount=False),
+]
+
+
+@pytest.mark.parametrize("case", CASES,
+                         ids=[str(sorted(c.items())) for c in CASES])
+def test_fused_matches_dense_solver(rng, case):
+    _compare(rng, **case)
+
+
+def test_fused_table():
+    """Flip-only canonicalisation coverage per the pass dependency sets
+    (mgm_core.cc:463-471)."""
+    always = {0, 1, 4, 6}
+    for mgm in (1, 2, 3, 4):
+        ok = {p for p in range(8) if fused_spec(p, mgm) is not None}
+        assert always <= ok
+        if mgm == 1:
+            assert ok == set(range(8))
+        elif mgm in (2, 3):
+            assert ok == always | {2, 3}
+        else:
+            assert ok == always
+    # knight passes never fuse
+    assert fused_spec(8, 1) is None
+    groups, leftover = split_passes(8, 2)
+    assert sorted(leftover) == [5, 7]
+    assert sum(len(ps) for _, ps in groups) == 6
+
+
+def test_fused_full_pipeline_crop(rng, monkeypatch):
+    """compute_disparity end-to-end: fused (interpret) == default path
+    on a real image crop, cfg2-style config."""
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import compute_disparity
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[200:248,
+                                                              300:372]
+    v = read_image("/root/reference/data/fountain23-imR.png")[200:248,
+                                                              300:372]
+    cfg = MGMConfig(dmin=-30, dmax=6, ndir=8, mgm=3, distance="census",
+                    prefilter="census", use_trunc_linear=True, p1=2,
+                    p2=20000, refinement="vfit", median_radius=1,
+                    test_lr=True)
+    monkeypatch.setenv("MGM_TPU_FUSED", "0")
+    a = compute_disparity(u, v, cfg)
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    b = compute_disparity(u, v, cfg)
+    for k in a:
+        x, y = np.asarray(a[k]), np.asarray(b[k])
+        fx, fy = np.isfinite(x), np.isfinite(y)
+        np.testing.assert_array_equal(fx, fy, err_msg=k)
+        np.testing.assert_allclose(y[fx], x[fx], atol=2e-3, err_msg=k)
