@@ -73,7 +73,7 @@ def env_float(name: str, default: float) -> float:
     return float(v) if v not in (None, "") else default
 
 
-def main(argv=None) -> int:
+def main(argv=None, mesh=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--help" in argv or "-h" in argv:
         print(HELP)
@@ -159,7 +159,8 @@ def main(argv=None) -> int:
     dmin_img = read_image(opts["m"])[..., 0] if opts["m"] else None
     dmax_img = read_image(opts["M"])[..., 0] if opts["M"] else None
 
-    res = compute_disparity(u, v, cfg, dmin_img=dmin_img, dmax_img=dmax_img)
+    res = compute_disparity(u, v, cfg, dmin_img=dmin_img, dmax_img=dmax_img,
+                            mesh=mesh)
 
     if opts["l"]:
         write_image(opts["l"], res["disp_nolr"])

@@ -188,25 +188,54 @@ def _kernel(*refs, specs, C, R_eff, L, G, D, SLAB, slope, p1, p2, mgm,
     u_ref = next(it)
     v_hbm = next(it)
     w_ref = next(it) if use_weights else None
-    out_ref, slab_ref, hist_ref, mins_ref, sem = it
+    out_ref, ring_ref, hist_ref, mins_ref, sem0, sem1 = it
 
     M = u_ref.shape[0]
-    t0 = pl.program_id(0) * G
-    cp = pltpu.make_async_copy(
-        v_hbm.at[:, :, pl.ds(t0, SLAB), :], slab_ref, sem)
-    cp.start()
+    step = pl.program_id(0)
+    t0 = step * G
+
+    # ---- v ring buffer: the cost windows of consecutive fronts -------
+    # overlap by all but G columns, so each step DMAs only the G NEW
+    # columns (instead of re-fetching the whole (G+L)-wide window, a
+    # ~SLAB/G x traffic blowup).  The ring is double-written (slot s
+    # also lives at s+SLAB) so every L-wide window is contiguous.
+    base = pl.multiple_of(jax.lax.rem(t0, SLAB), 8)
+
+    @pl.when(step == 0)
+    def _init():
+        cp0 = pltpu.make_async_copy(
+            v_hbm.at[:, :, pl.ds(0, SLAB), :],
+            ring_ref.at[:, :, pl.ds(0, SLAB), :], sem0)
+        cp1 = pltpu.make_async_copy(
+            v_hbm.at[:, :, pl.ds(0, SLAB), :],
+            ring_ref.at[:, :, pl.ds(SLAB, SLAB), :], sem1)
+        cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
+
+    @pl.when(step != 0)
+    def _advance():
+        src = pl.ds(pl.multiple_of(t0 + SLAB - G, 8), G)
+        wq = pl.multiple_of(jax.lax.rem(t0 - G, SLAB), 8)
+        cp0 = pltpu.make_async_copy(
+            v_hbm.at[:, :, src, :], ring_ref.at[:, :, pl.ds(wq, G), :],
+            sem0)
+        cp1 = pltpu.make_async_copy(
+            v_hbm.at[:, :, src, :],
+            ring_ref.at[:, :, pl.ds(wq + SLAB, G), :], sem1)
+        cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
+
+    # one aligned load per step; per-front windows are static slices
+    v_step = ring_ref[:, :, pl.ds(base, G + L - 1), :]
 
     hist = [(hist_ref[k], mins_ref[k]) for k in range(D)]
     Rp = u_ref.shape[-1]
     lab = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, Rp), 1)
-    cp.wait()
 
     for u in range(G):
         t = t0 + u
         # ---- fused cost volume front (M, L, R) ----------------------
         u_t = u_ref[:, :, u, :]                    # (M, Cch, R)
-        v_win = slab_ref[:, :, u:u + L, :]         # (M, Cch, L, R)
+        v_win = v_step[:, :, u:u + L, :]           # (M, Cch, L, R)
         raw = _cost_front(u_t, v_win, mode, nch)
         col = t - slope * row                      # canonical column (L, R)
         cc_parts = []
@@ -320,9 +349,10 @@ def fused_wavefront(U, V, W_sk, *, specs, C, R_eff, L, G, slope, mgm,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, Tp, L, Rp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((M, Cch, SLAB, Rp), vdtype),
+            pltpu.VMEM((M, Cch, 2 * SLAB, Rp), vdtype),
             pltpu.VMEM((D, M, L, Rp), jnp.float32),
             pltpu.VMEM((D, M, Rp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(

@@ -48,8 +48,10 @@ def _build_volumes(u, v, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
                    gmins: tuple, n_sides: int):
     """Adaptive weights + preprocess + the (N, H, W, L) cost volumes,
     one jitted dispatch."""
-    u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
-    v = jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+    u = jnp.nan_to_num(u.astype(jnp.float32), nan=0.0, posinf=0.0,
+                       neginf=0.0)
+    v = jnp.nan_to_num(v.astype(jnp.float32), nan=0.0, posinf=0.0,
+                       neginf=0.0)
     w_u = compute_weights(u, cfg.a_p2, cfg.a_thresh)
     w_v = compute_weights(v, cfg.a_p2, cfg.a_thresh)
     w8 = jnp.stack([w_u, w_v][:n_sides])
@@ -67,12 +69,27 @@ def _build_volumes(u, v, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
     return jnp.stack(ccs), w8, u, v
 
 
+def _u8_lossless(a: np.ndarray) -> np.ndarray:
+    """Upload 8-bit-valued images as uint8 (3-4x less tunnel traffic on
+    remote-attached TPUs); the jitted stages cast back to float32 on
+    device.  Only when exactly lossless."""
+    if a.dtype == np.float32 and a.size:
+        m0, m1 = a.min(), a.max()
+        if 0.0 <= m0 and m1 <= 255.0:
+            r = a.astype(np.uint8)
+            if np.array_equal(r.astype(np.float32), a):
+                return r
+    return a
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_sides"))
 def _prep_fused(u, v, *, cfg: MGMConfig, n_sides: int):
     """Scrub + weights + prefilter for the fused solve (no cost volume:
     the fused kernel computes costs in-flight from these images)."""
-    u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
-    v = jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+    u = jnp.nan_to_num(u.astype(jnp.float32), nan=0.0, posinf=0.0,
+                       neginf=0.0)
+    v = jnp.nan_to_num(v.astype(jnp.float32), nan=0.0, posinf=0.0,
+                       neginf=0.0)
     w_u = compute_weights(u, cfg.a_p2, cfg.a_thresh)
     w_v = compute_weights(v, cfg.a_p2, cfg.a_thresh)
     w8 = jnp.stack([w_u, w_v][:n_sides])
@@ -230,23 +247,30 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
 
     fused = _fused_backend(cfg, per_pixel) if mesh is None else None
     backend = "auto"
-    u_dev, v_dev = jnp.asarray(u), jnp.asarray(v)
+    u_dev, v_dev = jnp.asarray(_u8_lossless(u)), jnp.asarray(_u8_lossless(v))
     if mesh is not None:
         # row-shard every pipeline input; jit propagates the shardings
         # through all stages.  The Pallas kernels are single-device
         # programs, so the sharded pipeline runs the XLA scan path.
+        # make_array_from_callback builds the global arrays identically
+        # in single- and multi-controller (DCN) runs.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         backend = "xla"
-        img_s = NamedSharding(mesh, P("y", None, None))
-        plane_s = NamedSharding(mesh, P(None, "y", None))
-        u_dev = jax.device_put(u_dev, img_s)
-        v_dev = jax.device_put(v_dev, img_s)
-        lo_idx = jax.device_put(lo_idx, plane_s)
-        hi_idx = jax.device_put(hi_idx, plane_s)
-        flo_j = jax.device_put(flo_j, plane_s)
-        fhi_j = jax.device_put(fhi_j, plane_s)
-        gmin_j = jax.device_put(gmin_j, NamedSharding(mesh, P(None)))
+
+        def _shard(a, *spec):
+            host = np.asarray(a)
+            sh = NamedSharding(mesh, P(*spec))
+            return jax.make_array_from_callback(host.shape, sh,
+                                                lambda idx: host[idx])
+
+        u_dev = _shard(u_dev, "y", None, None)
+        v_dev = _shard(v_dev, "y", None, None)
+        lo_idx = _shard(lo_idx, None, "y", None)
+        hi_idx = _shard(hi_idx, None, "y", None)
+        flo_j = _shard(flo_j, None, "y", None)
+        fhi_j = _shard(fhi_j, None, "y", None)
+        gmin_j = _shard(gmin_j)
     _mark("host prep", prof, (lo_idx, hi_idx))
     cc = None
     if fused:
@@ -320,6 +344,14 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         out["disp_nolr_right"] = disp_nolr[1]
     if outputs is not None:
         out = {k: v for k, v in out.items() if k in outputs}
-    out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    if mesh is not None and jax.process_count() > 1:
+        # multi-controller: shards live on other hosts; allgather them
+        from jax.experimental import multihost_utils
+
+        out = {k: np.asarray(multihost_utils.process_allgather(a,
+                                                               tiled=True))
+               for k, a in out.items()}
+    else:
+        out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
     _mark("device_get", prof)
     return out
