@@ -1,29 +1,24 @@
-"""Fused-path orchestration: flip-only pass canonicalisation, skewed
-image preparation, kernel launch, and image-space assembly.
+"""Fused-path orchestration: bidirectional space assignment, skewed
+image preparation, kernel launches, and image-space assembly.
 
 The reference's 8 directional passes (mgm_core.cc:463-471 of
-gfacciol/mgm) each have a 4-neighbour causal set.  A pass can run in
-the fused cost+wavefront kernel (ops/pallas_fused.py) iff its first
-`mgm` causal dirs map into the canonical upper half {W, N, NW, NE}
-under x/y flips ALONE — a transpose would rotate the disparity
-displacement onto the row axis and break the kernel's contiguous
-v-window reads.  Which passes qualify depends on mgm:
+gfacciol/mgm) each have a 4-neighbour causal set.  A pass runs in the
+fused cost+wavefront kernel (ops/pallas_fused.py) iff all its first
+`mgm` causal deps are strictly causal under one of four schedules on
+the UNFLIPPED image: forward or backward scans over skew space A
+(t = c + slope*r) or B (t = c + slope*(Rp-1-r)).  A dep (dx, dy) has
+front offset dt = dx + slope*dy (A) / dx - slope*dy (B); forward needs
+dt < 0, backward dt > 0.  The reference's antipodal pass pairs land in
+the same space with opposite scan directions, so the backward launch
+accumulates onto the forward launch's output planes (one per
+side x space) — no image flips, label reversals or per-pass volumes
+exist anywhere, unlike the round-1 flip-only canonicalisation.
 
-  pass 0 (deps W,N,NW,NE)  : all mgm      (identity)
-  pass 1 (deps E,S,SE,SW)  : all mgm      (flip x+y)
-  pass 2 (deps S,W,SW,NW)  : mgm <= 3     (flip y)
-  pass 3 (deps N,E,NE,SE)  : mgm <= 3     (flip x)
-  pass 4 (deps NW,NE,N,E)  : all mgm      (flip x)
-  pass 5 (deps NE,SE,E,S)  : mgm == 1     (flip x)
-  pass 6 (deps SE,SW,S,W)  : all mgm      (flip y)
-  pass 7 (deps SW,NW,W,N)  : mgm == 1     (flip y)
-
-Passes that don't qualify (and the 22.5-degree knight extension) fall
-back to the cost-volume path (ops/aggregate.py).  Fusable passes with
-the same canonical offset set and slope batch into one kernel along
-with both LR-check sides.  Flip_x passes store their label axis
-reversed inside the kernel (the v window slice must ascend); the
-assembly unreverses before summing in image space.
+Coverage (identical to round 1's): passes 0,1,4,6 at any mgm; 2,3 at
+mgm <= 3; 5,7 at mgm == 1; the 22.5-degree knight passes and the rest
+fall back to the cost-volume path (ops/aggregate.py).  Slope 1 is used
+when it covers the same pass set (no dep with |dt| == 0), shrinking
+the skewed arrays ~30%.
 """
 from __future__ import annotations
 
@@ -37,7 +32,8 @@ from .aggregate import PASS_TABLE, aggregate
 from .common import INF
 from .cost import build_cost_volume, window_mask, _bt_aux
 
-# image-space causal dirs dir1..dir4 per pass (mgm_core.cc:463-471)
+# image-space causal dirs dir1..dir4 per pass (mgm_core.cc:463-471);
+# (dx, dy) with dy the row offset
 PASS_DIRS = (
     ((-1, 0), (0, -1), (-1, -1), (1, -1)),
     ((1, 0), (0, 1), (1, 1), (-1, 1)),
@@ -48,60 +44,67 @@ PASS_DIRS = (
     ((1, 1), (-1, 1), (0, 1), (-1, 0)),
     ((-1, 1), (-1, -1), (-1, 0), (0, -1)),
 )
-_CANON = {(-1, 0): 0, (0, -1): 1, (-1, -1): 2, (1, -1): 3}
+
+SCHEDULES = (("A", "fwd"), ("A", "bwd"), ("B", "fwd"), ("B", "bwd"))
+
+
+def _assign(p: int, mgm: int, slope: int):
+    """(space, dir, ranks) scheduling pass p's first `mgm` deps, or
+    None.  ranks: per-dep (front lag, lane roll); roll = -dy reads the
+    dep row's lane.  Preference order keeps low-mgm configs in space A
+    (fewer planes)."""
+    if p >= len(PASS_DIRS):
+        return None  # knight passes stay on the cost-volume path
+    deps = PASS_DIRS[p][:mgm]
+    for space, d in SCHEDULES:
+        ranks = []
+        for dx, dy in deps:
+            dt = dx + slope * dy if space == "A" else dx - slope * dy
+            lag = -dt if d == "fwd" else dt
+            if lag <= 0:
+                break
+            ranks.append((lag, -dy))
+        else:
+            return space, d, tuple(ranks)
+    return None
 
 
 def fused_spec(p: int, mgm: int):
-    """(flip_x, flip_y, d2o, border) for pass p at `mgm` coupled dirs,
-    or None when the pass needs a transpose.  Prefers a mapping without
-    the NE offset (slope-1 wavefronts, ~40% less skew fill)."""
-    if p >= len(PASS_DIRS):
-        return None  # knight passes stay on the cost-volume path
-    dirs = PASS_DIRS[p]
-    candidates = []
-    for fx in (False, True):
-        for fy in (False, True):
-            sx, sy = (-1 if fx else 1), (-1 if fy else 1)
-            mapped = [(dx * sx, dy * sy) for dx, dy in dirs[:mgm]]
-            if not all(d in _CANON for d in mapped):
-                continue
-            d2o = tuple(_CANON[d] for d in mapped)
-            full = [(dx * sx, dy * sy) for dx, dy in dirs]
-            border = (any(d[0] < 0 for d in full),   # needs left col
-                      any(d[0] > 0 for d in full),   # needs right col
-                      any(d[1] < 0 for d in full),   # needs top row
-                      any(d[1] > 0 for d in full))   # needs bottom row
-            candidates.append((fx, fy, d2o, border))
-    if not candidates:
-        return None
-    for cand in candidates:
-        if 3 not in cand[2]:
-            return cand
-    return candidates[0]
+    """Fusability at full (slope 2) coverage; None -> cost-volume path."""
+    return _assign(p, mgm, 2)
 
 
 def split_passes(ndir: int, mgm: int):
-    """(fused_groups, leftover_pids): fused passes grouped by (offset
-    set, slope); leftovers run through the cost-volume path."""
-    groups = {}
-    leftover = []
-    for p in range(ndir):
-        spec = fused_spec(p, mgm)
-        if spec is None:
-            leftover.append(p)
-            continue
-        offs = tuple(sorted(set(spec[2])))
-        slope = 2 if 3 in offs else 1
-        groups.setdefault((offs, slope), []).append((p, spec))
-    return list(groups.items()), leftover
+    """(launches, leftover_pids, slope, planes_spaces).
 
-
-def _flip_img(a, fx: bool, fy: bool):
-    if fy:
-        a = jnp.flip(a, axis=0)
-    if fx:
-        a = jnp.flip(a, axis=1)
-    return a
+    launches: [("fwd", [(pid, space, ranks, border), ...]),
+               ("bwd", [...])] with empty directions dropped;
+    border = (need_left, need_right, need_top, need_bottom) from the
+    pass's FULL 4-dep set (mgm_core.cc:538-541).
+    """
+    cand = {p: fused_spec(p, mgm) for p in range(ndir)}
+    fused = {p for p, s in cand.items() if s is not None}
+    if all(_assign(p, mgm, 1) for p in fused) if fused else False:
+        slope = 1
+        cand = {p: _assign(p, mgm, 1) for p in fused}
+    else:
+        slope = 2
+    leftover = [p for p in range(ndir) if p not in fused]
+    launches = {"fwd": [], "bwd": []}
+    spaces = []
+    for p in sorted(fused):
+        space, d, ranks = cand[p]
+        full = PASS_DIRS[p]
+        border = (any(dx < 0 for dx, dy in full),
+                  any(dx > 0 for dx, dy in full),
+                  any(dy < 0 for dx, dy in full),
+                  any(dy > 0 for dx, dy in full))
+        launches[d].append((p, space, ranks, border))
+        if space not in spaces:
+            spaces.append(space)
+    spaces = [s for s in ("A", "B") if s in spaces]  # A-first plane order
+    out = [(d, ms) for d, ms in launches.items() if ms]
+    return out, leftover, slope, spaces
 
 
 def _skew_rows(a, slope: int, t_len: int, fill):
@@ -116,6 +119,14 @@ def _skew_rows(a, slope: int, t_len: int, fill):
     return flat.reshape(shp[:-2] + (R, t_len))
 
 
+def _skew(a, space: str, slope: int, t_len: int, fill):
+    """Space-aware skew: B = row-flip, skew, row-flip back, which gives
+    out[r, t] = a[r, t - slope*(Rp-1-r)] on the padded rows."""
+    if space == "B":
+        return jnp.flip(_skew_rows(jnp.flip(a, -2), slope, t_len, fill), -2)
+    return _skew_rows(a, slope, t_len, fill)
+
+
 def _col_window(a, start: int, width: int, fill):
     """(..., R, C) -> (..., R, width): out[.., c'] = a[.., c' + start]."""
     C = a.shape[-1]
@@ -126,101 +137,112 @@ def _col_window(a, start: int, width: int, fill):
                                 axis=a.ndim - 1)
 
 
-def run_fused_group(passes, left, right, w8, *, sides, L, C, R, mgm,
-                    p1, p2, mode, nch, tmax, use_fh, use_weights,
-                    fold_pid, kappa, interpret=False):
-    """One fused kernel launch for `passes` = [(pid, spec), ...].
+def run_fused(launches, spaces, left, right, w8, *, sides, L, C, R,
+              slope, mgm, p1, p2, mode, nch, tmax, use_fh, use_weights,
+              kappa, interpret=False):
+    """Run all fused passes: one forward and (if present) one backward
+    accumulating kernel launch over planes = sides x spaces.
 
-    left/right: per-side preprocessed image pairs: for side n the
-    "left" is the reference image of that solve (the LR check's second
-    side swaps them).  sides: tuple of (gmin, lo, hi) static ints per
-    side.  Returns the (N, H, W, L) sum over the group's passes of the
-    aggregated volumes (the designated pass folds kappa * CC).
+    left/right: per-side preprocessed image pairs (side n >= 1, the LR
+    check's second solve, swaps them).  sides: tuple of (gmin, lo, hi)
+    static ints per side.  Returns the (N, H, W, L) per-plane-summed
+    volumes assembled to image space, summed over spaces per side (the
+    kappa * CC overcount term folded once per side).
     """
     N = len(sides)
-    offs = tuple(sorted({o for _, s in passes for o in s[2]}))
-    slope = 2 if 3 in offs else 1
     G = 8
     Rp = -(-R // 128) * 128
-    # T spans the padded lanes plus an 8-column unskew slice margin
-    T = C + slope * (Rp - 1) + 8
+    rpb = 8 // slope
+    RP = -(-Rp // rpb) * rpb          # rows padded for the unskew grid
+    T = C + slope * (RP - 1) + 8
     Tp = -(-T // G) * G
     SLAB = -(-(G + L - 1) // 8) * 8
     Tv = Tp + SLAB
+    A0 = {"A": 0, "B": slope * (RP - 1)}
+    SS = {"A": -1, "B": 1}
 
     int_img = jnp.issubdtype(left[0].dtype, jnp.integer)
     ifill = 0 if int_img else 0.0
 
-    specs = []
-    u_sk, v_sk, w_sk = [], [], []
-    for pid, (fx, fy, d2o, border) in passes:
+    # ---- planes: one output volume per (side, space) -----------------
+    plane_ix = {}
+    plane_specs = []
+    u_sk, v_sk = [], []
+    for space in spaces:
         for n, (gmin, lo, hi) in enumerate(sides):
-            if fx:
-                phase = -(gmin + L - 1)
-                lo_s, hi_s = L - 1 - hi, L - 1 - lo
-            else:
-                phase = gmin
-                lo_s, hi_s = lo, hi
-            fold = (pid == fold_pid) and (kappa != 0.0)
-            specs.append((phase, lo_s, hi_s, border, d2o, fold))
-
-            u_c = _flip_img(left[n], fx, fy)       # (H, W, Cch)
-            v_c = _flip_img(right[n], fx, fy)
-            u_c = jnp.moveaxis(u_c, -1, 0)         # (Cch, R, C)
-            v_c = jnp.moveaxis(v_c, -1, 0)
-            if Rp != R:
-                padr = [(0, 0), (0, Rp - R), (0, 0)]
+            plane_ix[(n, space)] = len(plane_specs)
+            # the overcount kappa*CC folds once per side, on the first
+            # space's forward launch (all spaces share the side's CC)
+            fold = (space == spaces[0]) and (kappa != 0.0)
+            plane_specs.append((gmin, lo, hi, A0[space], SS[space], fold))
+            u_c = jnp.moveaxis(left[n], -1, 0)     # (Cch, R, C)
+            v_c = jnp.moveaxis(right[n], -1, 0)
+            if RP != R:
+                padr = [(0, 0), (0, RP - R), (0, 0)]
                 u_c = jnp.pad(u_c, padr, constant_values=ifill)
                 v_c = jnp.pad(v_c, padr, constant_values=ifill)
-            u_sk.append(_skew_rows(u_c, slope, Tp, ifill))
-            v_shift = _col_window(v_c, phase, Tv, ifill)
-            v_sk.append(_skew_rows(v_shift, slope, Tv, ifill))
-
-            if use_weights:
-                wch = PASS_TABLE[pid].wch
-                planes = []
-                for o in offs:
-                    k = d2o.index(o)
-                    wp = _flip_img(w8[n, :, :, wch[k]], fx, fy)
-                    if Rp != R:
-                        wp = jnp.pad(wp, [(0, Rp - R), (0, 0)],
-                                     constant_values=1.0)
-                    planes.append(_skew_rows(wp, slope, Tp, 1.0))
-                w_sk.append(jnp.stack(planes))
-
-    U = jnp.stack(u_sk)                            # (M, Cch, Tp, Rp)
-    # transpose skewed axes into (.., T, R): T stays untiled, rows in lanes
-    U = jnp.swapaxes(U, -1, -2)
+            u_sk.append(_skew(u_c, space, slope, Tp, ifill))
+            v_shift = _col_window(v_c, gmin, Tv, ifill)
+            v_sk.append(_skew(v_shift, space, slope, Tv, ifill))
+    U = jnp.swapaxes(jnp.stack(u_sk), -1, -2)      # (Mp, Cch, Tp, RP)
     V = jnp.swapaxes(jnp.stack(v_sk), -1, -2)
-    W = jnp.swapaxes(jnp.stack(w_sk), -1, -2) if use_weights else None
 
-    out = pf.fused_wavefront(
-        U, V, W, specs=specs, C=C, R_eff=R, L=L, G=G, slope=slope,
-        mgm=mgm, offs=offs, mode=mode, nch=nch, tmax=tmax, p1=p1, p2=p2,
-        use_fh=use_fh, use_weights=use_weights, kappa=kappa,
-        interpret=interpret)                       # (M, Tp, L, Rp)
+    out = None
+    for d, passes in launches:
+        combos = []
+        mspecs = []
+        w_sk = []
+        for pid, space, ranks, border in passes:
+            for c in ranks:
+                if c not in combos:
+                    combos.append(c)
+        for pid, space, ranks, border in passes:
+            for n in range(N):
+                mspecs.append((plane_ix[(n, space)],
+                               tuple(combos.index(c) for c in ranks),
+                               border))
+                if use_weights:
+                    wch = PASS_TABLE[pid].wch
+                    planes = []
+                    for c in combos:
+                        if c in ranks:
+                            wp = w8[n, :, :, wch[ranks.index(c)]]
+                        else:
+                            wp = jnp.ones((R, C), jnp.float32)
+                        if RP != R:
+                            wp = jnp.pad(wp, [(0, RP - R), (0, 0)],
+                                         constant_values=1.0)
+                        planes.append(_skew(wp, space, slope, Tp, 1.0))
+                    w_sk.append(jnp.stack(planes))
+        W = (jnp.swapaxes(jnp.stack(w_sk), -1, -2) if use_weights
+             else None)
+        # the kappa*CC fold happens exactly once: in the first launch
+        lspecs = (plane_specs if out is None
+                  else [s[:5] + (False,) for s in plane_specs])
+        out = pf.fused_wavefront(
+            U, V, W, out, planes=lspecs, mspecs=mspecs,
+            combos=combos, C=C, R_eff=R, L=L, G=G, slope=slope, mgm=mgm,
+            mode=mode, nch=nch, tmax=tmax, p1=p1, p2=p2, use_fh=use_fh,
+            use_weights=use_weights, kappa=kappa, reverse=(d == "bwd"),
+            interpret=interpret)                   # (Mp, Tp, L, RP)
 
-    # ---- assembly: unskew + unflip + sum in image space -------------
-    out = jnp.transpose(out, (0, 3, 1, 2))         # (M, Rp, Tp, L)
-    out = pf.unskew_rows(out, C, R, slope, interpret)  # (M, R, C, L)
+    # ---- assembly: unskew per plane + sum spaces per side ------------
+    out = jnp.transpose(out, (0, 3, 1, 2))         # (Mp, RP, Tp, L)
+    sp_tags = [0 if plane_specs[i][4] == -1 else 1
+               for i in range(len(plane_specs))]
+    vols = pf.unskew_planes(out, C, R, slope, sp_tags, interpret)
     total = None
-    m = 0
-    for pid, (fx, fy, d2o, border) in passes:
-        vol = out[m:m + N]                         # (N, R, C, L)
-        if fx:
-            vol = jnp.flip(vol, axis=-1)           # storage label order
-            vol = jnp.flip(vol, axis=2)
-        if fy:
-            vol = jnp.flip(vol, axis=1)
-        total = vol if total is None else total + vol
-        m += N
+    for space in spaces:
+        i0 = plane_ix[(0, space)]     # sides are contiguous per space
+        part = vols[i0:i0 + N]
+        total = part if total is None else total + part
     return total
 
 
 @partial(jax.jit, static_argnames=("sides", "L", "ndir", "mgm", "p1", "p2",
-                                   "mode", "nch", "trunc_dist", "use_fh",
-                                   "use_weights", "fix_overcount",
-                                   "backend"))
+                                  "mode", "nch", "trunc_dist", "use_fh",
+                                  "use_weights", "fix_overcount",
+                                  "backend"))
 def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
                     mgm: int, p1: float, p2: float, mode: str, nch: int,
                     trunc_dist: float, use_fh: bool, use_weights: bool,
@@ -250,18 +272,16 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     else:
         lefts, rights = [u_p, v_p][:N], [v_p, u_p][:N]
 
-    groups, leftover = split_passes(ndir, mgm)
+    launches, leftover, slope, spaces = split_passes(ndir, mgm)
     kappa = -float(ndir - 1) if fix_overcount else 0.0
-    fold_pid = groups[0][1][0][0]
 
     lsum = None
-    for (offs, slope), passes in groups:
-        part = run_fused_group(
-            passes, lefts, rights, w8, sides=sides, L=L, C=W, R=H,
-            mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch, tmax=tmax,
-            use_fh=use_fh, use_weights=use_weights, fold_pid=fold_pid,
+    if launches:
+        lsum = run_fused(
+            launches, spaces, lefts, rights, w8, sides=sides, L=L, C=W,
+            R=H, slope=slope, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
+            tmax=tmax, use_fh=use_fh, use_weights=use_weights,
             kappa=kappa, interpret=interpret)
-        lsum = part if lsum is None else lsum + part
 
     if leftover:
         # the cost-volume builder computes its own BT aux channels, so
@@ -279,6 +299,8 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
                          p1=p1, p2=p2, ndir=ndir, mgm=mgm, use_fh=use_fh,
                          use_weights=use_weights, fh_restrict=False,
                          backend=agg_backend, pids=tuple(leftover))
+        if lsum is None and fix_overcount:
+            part = part + kappa * cc
         lsum = part if lsum is None else lsum + part
 
     # ---- S assembly + WTA (solver.py / mgm_core.cc:582-609) ---------

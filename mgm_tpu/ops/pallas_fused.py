@@ -1,31 +1,36 @@
-"""Fused cost + wavefront Pallas TPU kernel.
+"""Fused cost + wavefront Pallas TPU kernel (bidirectional, flip-free).
 
 The round-1 pipeline materialised the (N, H, W, L) cost volume, skewed
 it per pass group, ran the wavefront recursion, and unskewed — every
 stage re-touching a volume whose label axis (e.g. L=151) pads to 256
 lanes in the tiled HBM layout.  This kernel removes the volume from the
-input path entirely and fixes the layout:
+input path entirely, computes costs in-flight from skewed images, and
+— unlike its round-1 predecessor — needs NO image flips at all:
 
   - **Cost on the fly**: in skewed-image space the (pixel, label)
     structure of the cost volume collapses to overlapping windows.  For
-    a front t, pixel row r, the reference's cost c(p, p+(d,0))
+    a front t, image row r, the reference's cost c(p, p+(d,0))
     (mgm_costvolume.h:390-422 of gfacciol/mgm) needs u_sk[t, r] and
     v_sk[t + l, r] for l = 0..L-1 — a contiguous sublane slice of a
-    skewed, phase-shifted right image.  The kernel DMAs one (G+L)-deep
-    slab of v per grid step and computes the costs of G fronts in VMEM;
-    the only full-volume HBM traffic of the whole recursion is the
-    single aggregated output write.
+    skewed, phase-shifted right image.  A ring buffer DMAs only the G
+    new columns of v per grid step.
+  - **Two skew spaces x two scan directions** replace the round-1
+    x/y image flips: space A stores pixel (r, c) at front t = c + s*r,
+    space B at t = c + s*(Rp-1-r) (s = slope).  A dependency direction
+    (dx, dy) has front offset dt = dx + s*dy in A and dx - s*dy in B;
+    a pass is fusable iff all its coupled deps get dt < 0 (forward
+    scan) or dt > 0 (backward scan = the same kernel with the grid
+    index maps reversed) in some space.  The reference's antipodal
+    pass pairs (0,1), (2,3), (4,6), (5,7) (mgm_core.cc:463-471) land
+    in the same space with opposite directions, so the backward launch
+    ACCUMULATES onto the forward launch's output planes via
+    input_output_aliasing — rows, columns and labels all stay in
+    image order, and the round-1 assembly flips/reversals vanish.
   - **(M, T, L, R) layout**: fronts T in an untiled dim (the grid walks
     it in blocks of G), labels in sublanes (L pads to a multiple of 8),
     rows in lanes (R pads to 128).  Label +-1 shifts are sublane rolls,
-    the row-above neighbour is a lane shift, the per-pixel Dvec minimum
-    is a sublane reduction.
-  - **Flip-only canonicalisation** (ops/fused.py FUSED_TABLE): passes
-    whose causal neighbours map into {W, N, NW, NE} under x/y flips
-    alone keep the disparity displacement on the canonical column axis,
-    so one kernel batches every such pass x problem as the M dim.
-    Flip_x passes store labels reversed (the window slice must ascend);
-    the assembly unreverses them.
+    row +-1 neighbours are lane rolls, the per-pixel Dvec minimum is a
+    sublane reduction.
 
 Semantics reproduced exactly (tests/test_fused.py vs the XLA path and
 the oracle): truncation at trunc_dist*nch, out-of-image q -> tmax,
@@ -35,7 +40,7 @@ pass's full 4-neighbour set (mgm_core.cc:538-541), per-direction
 message order (mgm_core.cc:544-576) and the update_cost2 per-term /2
 quirk (mgm_core.cc:83-84), and the WTA overcount fold
 S[o] -= (NDIR-1)*CC[o] (mgm_core.cc:596-599) computed from the
-in-flight CC of a designated pass.
+in-flight CC of one designated plane per side.
 """
 from __future__ import annotations
 
@@ -49,13 +54,6 @@ from jax.experimental.pallas import tpu as pltpu
 INF = float("inf")
 VMEM_LIMIT = 100 * 1024 * 1024
 
-# canonical offset id -> (front lag, needs row-above shift), per slope;
-# same certificate as ops/pallas_wavefront.py (W=0, N=1, NW=2, NE=3)
-OFF_LAG = {
-    2: {0: (1, False), 1: (2, True), 2: (3, True), 3: (1, True)},
-    1: {0: (1, False), 1: (1, True), 2: (2, True)},
-}
-
 
 def _sub_roll(x, off, fill):
     """Shift along the sublane (label) axis -2: out[l] = x[l - off]."""
@@ -67,11 +65,14 @@ def _sub_roll(x, off, fill):
     return jnp.where(idx >= L + off, fill, r)
 
 
-def _row_above(x, fill):
-    """Lane shift: row r reads row r-1; row 0 = fill."""
-    r = pltpu.roll(x, shift=1, axis=x.ndim - 1)
+def _lane_roll(x, s, fill):
+    """Shift along the lane (row) axis -1 by s in {-1, +1}: row r reads
+    row r - s (s=+1: row above; s=-1: row below); fill at the edge."""
+    r = pltpu.roll(x, shift=s % x.shape[-1], axis=x.ndim - 1)
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.where(idx == 0, fill, r)
+    if s > 0:
+        return jnp.where(idx < s, fill, r)
+    return jnp.where(idx >= x.shape[-1] + s, fill, r)
 
 
 def _sgm_msg(Lk, mk, p1w, p2w):
@@ -98,47 +99,71 @@ def _fh_msg(Lk, mk, p1w, p2w):
     return M - mk
 
 
-def _unskew_kernel(x_ref, o_ref, *, C, slope, rpb):
+def _unskew_kernel(x_ref, o_ref, *, C, slope, rpb, A0, is_b):
+    """Unskew one (plane, row group, lane block): the sublane window of
+    row r = rpb*k + j starts at shift s*r = 8k + s*j (space A) or
+    s*(Rp-1-r) = A0 - 8k - s*j (space B; A0 = s*(Rp-1), static), so the
+    residue mod 8 is static per j and the in-VMEM slice stays static."""
     k = pl.program_id(1)
-    base = pl.multiple_of(8 * k, 8)
     for j in range(rpb):
-        # row r = k*rpb + j has shift slope*r = 8k + slope*j: dynamic
-        # sublane base 8k + a static residual slice (see
-        # ops/pallas_wavefront.py's unskew for the rationale)
-        buf = x_ref[:, j, pl.ds(base, C + 8), :]
-        o_ref[:, j] = buf[:, slope * j:slope * j + C, :]
+        if is_b:
+            c0 = 8 * ((A0 - slope * j) // 8)
+            base = pl.multiple_of(c0 - 8 * k, 8)
+            res = (A0 - slope * j) % 8
+        else:
+            base = pl.multiple_of(8 * k, 8)
+            res = slope * j
+        buf = x_ref[0, j, pl.ds(base, C + 8), :]
+        o_ref[0, j] = buf[res:res + C, :]
 
 
-def unskew_rows(y, C: int, R: int, slope: int = 2, interpret=False):
-    """(M, Rp, T, B) -> (M, R, C, B): out[m, r, c] = y[m, r, slope*r+c].
-    Grid over (M, row groups) keeps the VMEM block size independent of
-    the pass-batch width M."""
-    M, Rp, T, B = y.shape
+def _unskew_space(y, C: int, slope: int, is_b: bool, interpret):
+    Mp, Rp, T, B = y.shape
     rpb = 8 // slope
     assert Rp % rpb == 0
-    out = pl.pallas_call(
-        functools.partial(_unskew_kernel, C=C, slope=slope, rpb=rpb),
-        grid=(M, Rp // rpb),
-        in_specs=[pl.BlockSpec((1, rpb, T, B), lambda m, k: (m, k, 0, 0),
+    BL = min(B, 128)
+    nbl = -(-B // BL)
+    return pl.pallas_call(
+        functools.partial(_unskew_kernel, C=C, slope=slope, rpb=rpb,
+                          A0=slope * (Rp - 1), is_b=is_b),
+        grid=(Mp, Rp // rpb, nbl),
+        in_specs=[pl.BlockSpec((1, rpb, T, BL),
+                               lambda i, k, b: (i, k, 0, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rpb, C, B), lambda m, k: (m, k, 0, 0),
+        out_specs=pl.BlockSpec((1, rpb, C, BL),
+                               lambda i, k, b: (i, k, 0, b),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, Rp, C, B), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, Rp, C, B), y.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(y)
+
+
+def unskew_planes(y, C: int, R: int, slope: int, spaces,
+                  interpret=False):
+    """(Mp, Rp, T, B) -> (Mp, R, C, B): out[i, r, c] = y[i, r, t(r, c)]
+    with t = c + slope*r (space A, tag 0) or c + slope*(Rp-1-r)
+    (space B, tag 1).  Planes must be space-contiguous (A first)."""
+    nA = sum(1 for s in spaces if s == 0)
+    assert tuple(spaces) == (0,) * nA + (1,) * (len(spaces) - nA)
+    parts = []
+    if nA:
+        parts.append(_unskew_space(y[:nA], C, slope, False, interpret))
+    if nA < len(spaces):
+        parts.append(_unskew_space(y[nA:], C, slope, True, interpret))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out[:, :R]
 
 
 def _u1(u_t, c):
-    """(M, Cch, R) -> (M, 1, R) channel slice.  Plain slicing: a mixed
+    """(Mp, Cch, R) -> (Mp, 1, R) channel slice.  Plain slicing: a mixed
     int+newaxis index lowers to an (unsupported >2D) Mosaic gather."""
     return u_t[:, c:c + 1, :]
 
 
 def _cost_front(u_t, v_win, mode, nch):
-    """(M, Cch, R) left values + (M, Cch, L, R) right windows ->
-    (M, L, R) raw costs (mgm_costvolume.h:19-133)."""
+    """(Mp, Cch, R) left values + (Mp, Cch, L, R) right windows ->
+    (Mp, L, R) raw costs (mgm_costvolume.h:19-133)."""
     acc = None
     if mode in ("ad", "sd"):
         for c in range(nch):
@@ -172,49 +197,72 @@ def _cost_front(u_t, v_win, mode, nch):
     return acc
 
 
-def _kernel(*refs, specs, C, R_eff, L, G, D, SLAB, slope, p1, p2, mgm,
-            offs, mode, nch, tmax, use_fh, use_weights, kappa):
-    """One grid step = G consecutive wavefronts for every pass x problem
-    in the group.
+def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
+            p1, p2, mgm, mode, nch, tmax, use_fh, use_weights, kappa,
+            reverse, accumulate, NB):
+    """One grid step = G consecutive wavefronts for every pass x side in
+    the launch.
 
-    specs: per-m static tuples (phase, lo, hi, border, d2o, fold) where
-      phase shifts the v window (label order pre-reversed for flip_x
-      passes), [lo, hi] is the storage-order label window, border =
-      (need_left, need_right, need_top, need_bottom) from the pass's
-      full 4-neighbour set, d2o maps dir rank -> canonical offset, and
-      fold marks the pass whose output accumulates kappa * CC.
+    planes: per-plane static tuples (phase, lo, hi, A0, ssgn, fold)
+      where the canonical column of (front t, row r) is
+      col = t - A0 + ssgn*slope*r (A: A0=0, ssgn=-1; B: A0=slope*(Rp-1),
+      ssgn=+1), [lo, hi] the label window, phase = gmin of the side, and
+      fold marks the plane that accumulates kappa * CC.
+    mspecs: per-recursion static tuples (plane, ranks, border) with
+      ranks = per-coupled-dir indices into `combos` and border =
+      (need_left, need_right, need_top, need_bottom) over the pass's
+      full 4-neighbour set (mgm_core.cc:538-541).
+    combos: distinct (front lag, lane roll) pairs used by this launch.
+    reverse: walk fronts from high t to low (backward scan).
+    accumulate: an aliased input carries the forward launch's output;
+      this launch adds onto it.
     """
     it = iter(refs)
     u_ref = next(it)
     v_hbm = next(it)
     w_ref = next(it) if use_weights else None
+    acc_ref = next(it) if accumulate else None
     out_ref, ring_ref, hist_ref, mins_ref, sem0, sem1 = it
 
-    M = u_ref.shape[0]
+    Mp = u_ref.shape[0]
+    Ml = len(mspecs)
     step = pl.program_id(0)
-    t0 = step * G
+    blk = NB - 1 - step if reverse else step
+    t0 = blk * G
 
     # ---- v ring buffer: the cost windows of consecutive fronts -------
     # overlap by all but G columns, so each step DMAs only the G NEW
     # columns (instead of re-fetching the whole (G+L)-wide window, a
-    # ~SLAB/G x traffic blowup).  The ring is double-written (slot s
-    # also lives at s+SLAB) so every L-wide window is contiguous.
-    base = pl.multiple_of(jax.lax.rem(t0, SLAB), 8)
+    # ~SLAB/G x traffic blowup).  The ring is double-written (slot q
+    # also lives at q+SLAB) so every L-wide window is contiguous.
+    # Column x lives at slot (x - DELTA) mod SLAB, DELTA chosen so the
+    # first step's window starts at slot 0 (forward: DELTA = 0;
+    # reverse: first t0 = Tp - G need not be a multiple of SLAB).
+    DELTA = 0 if not reverse else ((NB - 1) * G) % SLAB
+
+    def slot(x):
+        return pl.multiple_of(jax.lax.rem(x - DELTA + SLAB, SLAB), 8)
+
+    base = slot(t0)
 
     @pl.when(step == 0)
     def _init():
         cp0 = pltpu.make_async_copy(
-            v_hbm.at[:, :, pl.ds(0, SLAB), :],
+            v_hbm.at[:, :, pl.ds(t0, SLAB), :],
             ring_ref.at[:, :, pl.ds(0, SLAB), :], sem0)
         cp1 = pltpu.make_async_copy(
-            v_hbm.at[:, :, pl.ds(0, SLAB), :],
+            v_hbm.at[:, :, pl.ds(t0, SLAB), :],
             ring_ref.at[:, :, pl.ds(SLAB, SLAB), :], sem1)
         cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
 
     @pl.when(step != 0)
     def _advance():
-        src = pl.ds(pl.multiple_of(t0 + SLAB - G, 8), G)
-        wq = pl.multiple_of(jax.lax.rem(t0 - G, SLAB), 8)
+        if reverse:
+            src = pl.ds(pl.multiple_of(t0, 8), G)      # new LOW columns
+            wq = slot(t0)
+        else:
+            src = pl.ds(pl.multiple_of(t0 + SLAB - G, 8), G)
+            wq = slot(t0 + SLAB - G)
         cp0 = pltpu.make_async_copy(
             v_hbm.at[:, :, src, :], ring_ref.at[:, :, pl.ds(wq, G), :],
             sem0)
@@ -231,17 +279,19 @@ def _kernel(*refs, specs, C, R_eff, L, G, D, SLAB, slope, p1, p2, mgm,
     lab = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, Rp), 1)
 
-    for u in range(G):
+    us = range(G - 1, -1, -1) if reverse else range(G)
+    for u in us:
         t = t0 + u
-        # ---- fused cost volume front (M, L, R) ----------------------
-        u_t = u_ref[:, :, u, :]                    # (M, Cch, R)
-        v_win = v_step[:, :, u:u + L, :]           # (M, Cch, L, R)
+        # ---- fused cost volume front, one per plane -----------------
+        u_t = u_ref[:, :, u, :]                    # (Mp, Cch, R)
+        v_win = v_step[:, :, u:u + L, :]           # (Mp, Cch, L, R)
         raw = _cost_front(u_t, v_win, mode, nch)
-        col = t - slope * row                      # canonical column (L, R)
-        cc_parts = []
-        for m, (phase, lo, hi, border, d2o, fold) in enumerate(specs):
-            e = jnp.minimum(raw[m], tmax)
-            q = col + phase + lab                  # right-image column (L, R)
+        cc = []
+        cols = []
+        for i, (phase, lo, hi, A0, ssgn, fold) in enumerate(planes):
+            col = t - A0 + ssgn * slope * row      # image column (L, R)
+            e = jnp.minimum(raw[i], tmax)
+            q = col + phase + lab                  # right-image column
             e = jnp.where((q >= 0) & (q < C), e, tmax)
             in_win = (lab >= lo) & (lab <= hi)
             # all-invalid window -> 0 (mgm_costvolume.h:410-421)
@@ -250,41 +300,42 @@ def _kernel(*refs, specs, C, R_eff, L, G, D, SLAB, slope, p1, p2, mgm,
             e = jnp.where(anyfin > 0, e, 0.0)
             # outside the label window / image / padded lanes -> +inf
             ok = in_win & (col >= 0) & (col < C) & (row < R_eff)
-            cc_parts.append(jnp.where(ok, e, INF))
-        cc_t = jnp.stack(cc_parts)                 # (M, L, R)
+            cc.append(jnp.where(ok, e, INF))
+            cols.append(col)
 
-        # ---- directional messages per canonical offset --------------
-        msgs = {}
-        for j, off in enumerate(offs):
-            lag, shift = OFF_LAG[slope][off]
+        # ---- messages per (lag, roll) combo, batched over Ml --------
+        msgs = []
+        for ci, (lag, roll) in enumerate(combos):
             f, mn = hist[lag - 1]
-            if shift:
-                f, mn = _row_above(f, INF), _row_above(mn, INF)
-            mk = mn[:, None, :]                    # (M, 1, R)
+            if roll:
+                f = _lane_roll(f, roll, INF)
+                mn = _lane_roll(mn, roll, INF)
+            mk = mn[:, None, :]                    # (Ml, 1, R)
             if use_weights:
-                d = w_ref[:, j, u, :][:, None, :]  # (M, 1, R)
+                d = w_ref[:, ci, u, :][:, None, :]
                 p1w, p2w = d * p1, d * p2
             else:
                 p1w, p2w = p1, p2
             if use_fh:
-                msgs[off] = _fh_msg(f, mk, p1w, p2w)
+                msgs.append(_fh_msg(f, mk, p1w, p2w))
             else:
-                msgs[off] = _sgm_msg(f, mk, p1w, p2w)
+                msgs.append(_sgm_msg(f, mk, p1w, p2w))
 
-        # ---- per-pass dir-order combine + border rule ----------------
-        new_parts = []
-        out_parts = []
-        for m, (phase, lo, hi, border, d2o, fold) in enumerate(specs):
+        # ---- per-recursion dir-order combine + border rule ----------
+        news = []
+        sums = [None] * Mp
+        for m, (pi, ranks, border) in enumerate(mspecs):
             if mgm == 2 and not use_weights and not use_fh:
                 # update_cost2 halves each term (mgm_core.cc:83-84)
-                e = msgs[d2o[0]][m] * 0.5 + msgs[d2o[1]][m] * 0.5
+                e = msgs[ranks[0]][m] * 0.5 + msgs[ranks[1]][m] * 0.5
             else:
-                e = msgs[d2o[0]][m]
+                e = msgs[ranks[0]][m]
                 for k in range(1, mgm):
-                    e = e + msgs[d2o[k]][m]
+                    e = e + msgs[ranks[k]][m]
                 if mgm > 1:
                     e = e / float(mgm)
             need_l, need_r, need_t, need_b = border
+            col = cols[pi]
             interior = (col >= (1 if need_l else 0)) & (col < C)
             if need_r:
                 interior &= col <= C - 2
@@ -294,11 +345,17 @@ def _kernel(*refs, specs, C, R_eff, L, G, D, SLAB, slope, p1, p2, mgm,
                 interior &= row <= R_eff - 2
             else:
                 interior &= row < R_eff
-            new_m = jnp.where(interior, cc_t[m] + e, cc_t[m])
-            new_parts.append(new_m)
-            out_parts.append(new_m + kappa * cc_t[m] if fold else new_m)
-        new = jnp.stack(new_parts)
-        out_ref[:, u] = jnp.stack(out_parts)
+            new_m = jnp.where(interior, cc[pi] + e, cc[pi])
+            news.append(new_m)
+            sums[pi] = new_m if sums[pi] is None else sums[pi] + new_m
+        for i, (phase, lo, hi, A0, ssgn, fold) in enumerate(planes):
+            o = sums[i] if sums[i] is not None else jnp.zeros_like(cc[i])
+            if fold:
+                o = o + kappa * cc[i]
+            if accumulate:
+                o = acc_ref[i, u] + o
+            out_ref[i, u] = o
+        new = jnp.stack(news)
         hist = [(new, jnp.min(new, axis=-2))] + hist[:-1]
 
     for k in range(D):
@@ -306,59 +363,75 @@ def _kernel(*refs, specs, C, R_eff, L, G, D, SLAB, slope, p1, p2, mgm,
         mins_ref[k] = hist[k][1]
 
 
-def fused_wavefront(U, V, W_sk, *, specs, C, R_eff, L, G, slope, mgm,
-                    offs, mode, nch, tmax, p1, p2, use_fh, use_weights,
-                    kappa, interpret=False):
-    """Run the fused recursion.
+def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
+                    L, G, slope, mgm, mode, nch, tmax, p1, p2, use_fh,
+                    use_weights, kappa, reverse, interpret=False):
+    """Run one scan direction of the fused recursion.
 
-    U: (M, Cch, Tp, Rp) skewed left images (Tp a multiple of G).
-    V: (M, Cch, Tp + SLAB, Rp) skewed phase-shifted right images (HBM).
-    W_sk: (M, n_off, Tp, Rp) per-offset-rank weights or None.
-    Returns (M, Tp, L, Rp) aggregated volumes (the designated pass's
-    plane holds Lr + kappa * CC).
+    U: (Mp, Cch, Tp, Rp) skewed left images (Tp a multiple of G), one
+      per (side, space) plane.
+    V: (Mp, Cch, Tp + SLAB, Rp) skewed phase-shifted right images (HBM).
+    W_sk: (Ml, n_combo, Tp, Rp) per-combo weights or None.
+    acc: (Mp, Tp, L, Rp) forward-launch output to accumulate onto
+      (aliased, donated), or None.
+    Returns (Mp, Tp, L, Rp) accumulated volumes.
     """
-    M, Cch, Tp, Rp = U.shape
+    Mp, Cch, Tp, Rp = U.shape
     assert Tp % G == 0
-    D = max(OFF_LAG[slope][o][0] for o in offs)
+    NB = Tp // G
+    D = max(lag for lag, roll in combos)
     SLAB = -(-(G + L - 1) // 8) * 8
     assert V.shape[2] >= Tp + SLAB - G
 
     kernel = functools.partial(
-        _kernel, specs=tuple(specs), C=C, R_eff=R_eff, L=L, G=G, D=D,
-        SLAB=SLAB, slope=slope, p1=float(p1), p2=float(p2), mgm=mgm,
-        offs=tuple(offs), mode=mode, nch=nch, tmax=float(tmax),
-        use_fh=use_fh, use_weights=use_weights, kappa=float(kappa))
+        _kernel, planes=tuple(planes), mspecs=tuple(mspecs),
+        combos=tuple(combos), C=C, R_eff=R_eff, L=L, G=G, D=D, SLAB=SLAB,
+        slope=slope, p1=float(p1), p2=float(p2), mgm=mgm, mode=mode,
+        nch=nch, tmax=float(tmax), use_fh=use_fh, use_weights=use_weights,
+        kappa=float(kappa), reverse=reverse, accumulate=acc is not None,
+        NB=NB)
 
+    Ml = len(mspecs)
+    blk = ((lambda s: (0, NB - 1 - s, 0, 0)) if reverse
+           else (lambda s: (0, s, 0, 0)))
+    blk3 = ((lambda s: (0, 0, NB - 1 - s, 0)) if reverse
+            else (lambda s: (0, 0, s, 0)))
     args = [U, V]
     in_specs = [
-        pl.BlockSpec((M, Cch, G, Rp), lambda t: (0, 0, t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((Mp, Cch, G, Rp), blk3, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
+    aliases = {}
     if use_weights:
         args.append(W_sk)
-        in_specs.append(pl.BlockSpec((M, W_sk.shape[1], G, Rp),
-                                     lambda t: (0, 0, t, 0),
+        in_specs.append(pl.BlockSpec((Ml, W_sk.shape[1], G, Rp), blk3,
+                                     memory_space=pltpu.VMEM))
+    if acc is not None:
+        aliases = {len(args): 0}
+        args.append(acc)
+        in_specs.append(pl.BlockSpec((Mp, G, L, Rp), blk,
                                      memory_space=pltpu.VMEM))
     vdtype = V.dtype
     return pl.pallas_call(
         kernel,
-        grid=(Tp // G,),
+        grid=(NB,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((M, G, L, Rp), lambda t: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((Mp, G, L, Rp), blk,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, Tp, L, Rp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, Tp, L, Rp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((M, Cch, 2 * SLAB, Rp), vdtype),
-            pltpu.VMEM((D, M, L, Rp), jnp.float32),
-            pltpu.VMEM((D, M, Rp), jnp.float32),
+            pltpu.VMEM((Mp, Cch, 2 * SLAB, Rp), vdtype),
+            pltpu.VMEM((D, Ml, L, Rp), jnp.float32),
+            pltpu.VMEM((D, Ml, Rp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
-            flops=Tp * M * L * Rp * (30 if not use_fh
-                                     else 30 + 8 * L.bit_length()),
-            bytes_accessed=(M * Tp * L * Rp + M * Cch * Tp * Rp * 2) * 4,
+            flops=Tp * Ml * L * Rp * (30 if not use_fh
+                                      else 30 + 8 * L.bit_length()),
+            bytes_accessed=(Mp * Tp * L * Rp * (2 if acc is not None else 1)
+                            + Mp * Cch * Tp * Rp * 2) * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,

@@ -15,20 +15,19 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-from mgm_tpu.config import MGMConfig
 from mgm_tpu.io import read_image
+from mgm_tpu.models.presets import get_preset
 from mgm_tpu.stereo import compute_disparity
 
 DATA = "/root/reference/data"
 
+_R = dict(dmin=-120, dmax=30, test_lr=True)  # fountain23 range, LR on
+
 CFGS = {
-    "cfg1": MGMConfig(dmin=-120, dmax=30, ndir=4, mgm=2, distance="ad",
-                      p1=8, p2=32, test_lr=True),
-    "cfg1_tsgm4": MGMConfig(dmin=-120, dmax=30, ndir=4, mgm=4,
-                            distance="ad", p1=8, p2=32, test_lr=True),
-    "cfg2": MGMConfig(dmin=-120, dmax=30, ndir=8, mgm=3, distance="census",
-                      p1=2, p2=20000, use_trunc_linear=True,
-                      refinement="vfit", median_radius=1, test_lr=True),
+    "cfg1": get_preset("fast_ad", **_R),
+    "cfg1_tsgm4": get_preset("fast_ad", mgm=4, **_R),
+    "cfg2": get_preset("census_tl", **_R),
+    "cfg4": get_preset("sobelx_tl", **_R),
 }
 
 

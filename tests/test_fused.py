@@ -101,8 +101,8 @@ def test_fused_matches_dense_solver(rng, case):
 
 
 def test_fused_table():
-    """Flip-only canonicalisation coverage per the pass dependency sets
-    (mgm_core.cc:463-471)."""
+    """Bidirectional space-assignment coverage per the pass dependency
+    sets (mgm_core.cc:463-471)."""
     always = {0, 1, 4, 6}
     for mgm in (1, 2, 3, 4):
         ok = {p for p in range(8) if fused_spec(p, mgm) is not None}
@@ -115,9 +115,14 @@ def test_fused_table():
             assert ok == always
     # knight passes never fuse
     assert fused_spec(8, 1) is None
-    groups, leftover = split_passes(8, 2)
+    launches, leftover, slope, spaces = split_passes(8, 2)
     assert sorted(leftover) == [5, 7]
-    assert sum(len(ps) for _, ps in groups) == 6
+    assert sum(len(ps) for _, ps in launches) == 6
+    assert slope == 2
+    # mgm=1 runs every pass fused at slope 1 (no dep with |dt| == 0)
+    launches1, leftover1, slope1, _ = split_passes(8, 1)
+    assert leftover1 == [] and slope1 == 1
+    assert sum(len(ps) for _, ps in launches1) == 8
 
 
 def test_fused_full_pipeline_crop(rng, monkeypatch):
