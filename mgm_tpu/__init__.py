@@ -67,6 +67,7 @@ _enable_cache_on_experimental_platforms()
 from .config import MGMConfig
 from .stereo import compute_disparity
 from .mrf import solve_mrf
+from .runner import tiled_disparity
 
 __version__ = "0.1.0"
 __all__ = ["MGMConfig", "compute_disparity", "solve_mrf"]

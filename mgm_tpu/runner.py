@@ -1,0 +1,123 @@
+"""Tiled large-scene runner with checkpoint/resume.
+
+The reference processes one image pair per invocation and keeps the
+whole cost volume in RAM (mgm.cc:266-450 of gfacciol/mgm); satellite
+pipelines built on it (s2p-style) tile big scenes into overlapping
+crops and run the binary per tile.  This runner makes that pattern a
+first-class, resumable library call: the scene is cut into tiles with
+a `margin`-pixel context band, each tile solves on-device (optionally
+mesh-sharded), the core of each result is mosaicked into the scene
+arrays, and — with `checkpoint_dir` — every finished tile is persisted
+(utils/checkpoint.py) so a preempted job resumes at the first
+unfinished tile.
+
+The data term of a core pixel is exact: the right-image crop is
+widened by [dmin, dmax] so every candidate correspondence is present.
+Aggregation context is truncated at `margin` pixels — the standard
+tiling trade-off (regularisation influence decays with distance);
+margin >= scene size reproduces the single-solve result exactly.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import MGMConfig
+from .stereo import compute_disparity
+from .utils.checkpoint import load_state, save_state
+
+
+def _tile_starts(size: int, tile: int) -> list[int]:
+    return list(range(0, size, tile)) if size else [0]
+
+
+def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
+                    tile: int = 512, margin: int = 64,
+                    checkpoint_dir: str | None = None,
+                    mesh=None, verbose: bool = False) -> dict:
+    """Solve a (H, W, C) scene pair tile-by-tile.
+
+    Returns {'disp', 'cost'} scene-sized float32 arrays (left side).
+    `tile`: core tile size (pixels, both axes).  `margin`: context
+    pixels added on every tile side before solving (cropped off after).
+    `checkpoint_dir`: persist each finished tile and skip tiles already
+    present (resume after preemption).
+    """
+    H, W, _ = u.shape
+    assert v.shape == u.shape, "rectified pairs share geometry"
+    pad_l, pad_r = max(0, -cfg.dmin), max(0, cfg.dmax)
+    disp = np.full((H, W), np.nan, np.float32)
+    cost = np.full((H, W), np.nan, np.float32)
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    n_solved = 0
+    for y0 in _tile_starts(H, tile):
+        for x0 in _tile_starts(W, tile):
+            y1, x1 = min(y0 + tile, H), min(x0 + tile, W)
+            ckpt = (os.path.join(checkpoint_dir, f"tile_{y0}_{x0}.npz")
+                    if checkpoint_dir else None)
+            state = load_state(ckpt) if ckpt else None
+            if state is not None:
+                disp[y0:y1, x0:x1] = state["disp"]
+                cost[y0:y1, x0:x1] = state["cost"]
+                continue
+            # context window: margin all around, plus the disparity
+            # search band on the column axis so every candidate right
+            # pixel of a core left pixel is inside the crop
+            cy0, cy1 = max(0, y0 - margin), min(H, y1 + margin)
+            cx0 = max(0, x0 - margin - pad_l)
+            cx1 = min(W, x1 + margin + pad_r)
+            res = compute_disparity(
+                u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
+                outputs=("disp", "cost"), mesh=mesh)
+            oy, ox = y0 - cy0, x0 - cx0
+            td = res["disp"][oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
+            tc = res["cost"][oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
+            disp[y0:y1, x0:x1] = td
+            cost[y0:y1, x0:x1] = tc
+            n_solved += 1
+            if ckpt:
+                save_state(ckpt, disp=td, cost=tc)
+            if verbose:
+                print(f"[tile] ({y0},{x0})..({y1},{x1}) solved",
+                      flush=True)
+    return {"disp": disp, "cost": cost, "tiles_solved": n_solved}
+
+
+def main(argv=None):
+    """CLI: mgm-tpu-tiled left right out_disp [out_cost] [options]."""
+    import argparse
+
+    from .io import read_image, write_image
+
+    ap = argparse.ArgumentParser(
+        prog="mgm-tpu-tiled",
+        description="Tiled, resumable large-scene stereo (preset-based)")
+    ap.add_argument("left")
+    ap.add_argument("right")
+    ap.add_argument("out_disp")
+    ap.add_argument("out_cost", nargs="?")
+    ap.add_argument("--preset", default="fast_ad")
+    ap.add_argument("-r", "--dmin", type=int, default=-30)
+    ap.add_argument("-R", "--dmax", type=int, default=30)
+    ap.add_argument("--tile", type=int, default=512)
+    ap.add_argument("--margin", type=int, default=64)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint dir (enables resume)")
+    args = ap.parse_args(argv)
+
+    from .models.presets import get_preset
+    cfg = get_preset(args.preset, dmin=args.dmin, dmax=args.dmax)
+    u, v = read_image(args.left), read_image(args.right)
+    res = tiled_disparity(u, v, cfg, tile=args.tile, margin=args.margin,
+                          checkpoint_dir=args.ckpt, verbose=True)
+    write_image(args.out_disp, res["disp"])
+    if args.out_cost:
+        write_image(args.out_cost, res["cost"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

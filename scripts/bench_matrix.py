@@ -1,0 +1,94 @@
+"""Benchmark the full BASELINE.md config matrix on the attached TPU.
+
+Rows mirror the reference's measured configs (BASELINE.md:23-29;
+reference configs from Makefile:16-18 / README.txt:90,107 of
+gfacciol/mgm), driven through the preset registry.  Prints one JSON
+line per config with MP*disp/s (W*H*L label evaluations per side, x2
+when the LR check solves both sides — same accounting as BASELINE.md)
+and the speedup over the reference serial-CPU number for that row.
+
+    python scripts/bench_matrix.py [--reps N] [--trace DIR] [cfg ...]
+
+--trace captures a jax.profiler device trace (xprof/TensorBoard) of
+one steady-state run per config via mgm_tpu.utils.profiling.trace.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from mgm_tpu.io import read_image
+from mgm_tpu.models.presets import get_preset
+from mgm_tpu.stereo import compute_disparity
+from mgm_tpu.utils import trace
+
+DATA = "/root/reference/data"
+FOUNTAIN = dict(dmin=-120, dmax=30, test_lr=True)
+
+# name -> (preset, overrides, image pair, reference MP*disp/s)
+MATRIX = {
+    "cfg1": ("fast_ad", {}, "fountain", 5.8),
+    "cfg1_tsgm4": ("fast_ad", {"mgm": 4}, "fountain", 4.0),
+    "cfg2": ("census_tl", {}, "fountain", 2.5),
+    "cfg4": ("sobelx_tl", {}, "fountain", 3.0),
+    "cfg3": ("satellite", {"test_lr": True}, "satellite", 2.8),
+}
+
+
+def load_pair(which):
+    if which == "fountain":
+        u = read_image(f"{DATA}/fountain23-imL.png")
+        v = read_image(f"{DATA}/fountain23-imR.png")
+    else:
+        u = read_image(f"{DATA}/rectified_ref.tif")
+        v = read_image(f"{DATA}/rectified_sec.tif")
+    return u, v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cfgs", nargs="*", default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--trace", default=None,
+                    help="capture an xprof device trace per config here")
+    args = ap.parse_args()
+    names = args.cfgs or list(MATRIX)
+
+    for name in names:
+        preset, over, pair, ref_mpds = MATRIX[name]
+        cfg = get_preset(preset, **(FOUNTAIN | over if pair == "fountain"
+                                    else over))
+        u, v = load_pair(pair)
+        H, W, _ = u.shape
+        sides = 2 if cfg.test_lr else 1
+        mpd = sides * H * W * (cfg.dmax - cfg.dmin + 1) / 1e6
+
+        def run():
+            return compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+
+        run()  # compile warmup
+        best = None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            run()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        if args.trace:
+            with trace(f"{args.trace}/{name}"):
+                run()
+        value = mpd / best
+        print(json.dumps({
+            "metric": f"{name} ({preset}, {pair}) throughput",
+            "value": round(value, 2),
+            "unit": "MP*disp/s",
+            "vs_baseline": round(value / ref_mpds, 2),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
