@@ -45,21 +45,34 @@ PASS_DIRS = (
     ((-1, 1), (-1, -1), (-1, 0), (0, -1)),
 )
 
-SCHEDULES = (("A", "fwd"), ("A", "bwd"), ("B", "fwd"), ("B", "bwd"))
+# Space V = slope-0 column fronts (t = c, no skew): passes whose
+# coupled deps are all strictly horizontal-causal (|dx| = 1, any dy)
+# run as plain left-to-right / right-to-left column scans — this is
+# what makes passes 5 and 7 (deps all with dx = +1 / -1 up to mgm = 3,
+# mgm_core.cc:468,471) fusable, so ndir = 8 configs at mgm <= 3 (the
+# reference's census/trunc-linear benchmarks) never touch the
+# cost-volume fallback.
+SCHEDULES = (("A", "fwd"), ("A", "bwd"), ("B", "fwd"), ("B", "bwd"),
+             ("V", "fwd"), ("V", "bwd"))
 
 
 def _assign(p: int, mgm: int, slope: int):
     """(space, dir, ranks) scheduling pass p's first `mgm` deps, or
     None.  ranks: per-dep (front lag, lane roll); roll = -dy reads the
     dep row's lane.  Preference order keeps low-mgm configs in space A
-    (fewer planes)."""
+    (fewer planes) and reaches for V (an extra launch pair) last."""
     if p >= len(PASS_DIRS):
         return None  # knight passes stay on the cost-volume path
     deps = PASS_DIRS[p][:mgm]
     for space, d in SCHEDULES:
         ranks = []
         for dx, dy in deps:
-            dt = dx + slope * dy if space == "A" else dx - slope * dy
+            if space == "A":
+                dt = dx + slope * dy
+            elif space == "B":
+                dt = dx - slope * dy
+            else:
+                dt = dx
             lag = -dt if d == "fwd" else dt
             if lag <= 0:
                 break
@@ -75,36 +88,48 @@ def fused_spec(p: int, mgm: int):
 
 
 def split_passes(ndir: int, mgm: int):
-    """(launches, leftover_pids, slope, planes_spaces).
+    """(groups, leftover_pids).
 
-    launches: [("fwd", [(pid, space, ranks, border), ...]),
-               ("bwd", [...])] with empty directions dropped;
-    border = (need_left, need_right, need_top, need_bottom) from the
-    pass's FULL 4-dep set (mgm_core.cc:538-541).
+    groups: up to two (slope, spaces, launches) tuples — the skewed
+    group (slope 1 or 2, spaces within {A, B}) and the column-front
+    group (slope 0, spaces ["V"]); launches within a group:
+    [("fwd", [(pid, space, ranks, border), ...]), ("bwd", [...])] with
+    empty directions dropped; border = (need_left, need_right,
+    need_top, need_bottom) from the pass's FULL 4-dep set
+    (mgm_core.cc:538-541).  Slope 1 is preferred when it covers the
+    same pass set (no skewed dep with |dt| == 0), shrinking the skewed
+    arrays ~30%.
     """
     cand = {p: fused_spec(p, mgm) for p in range(ndir)}
     fused = {p for p, s in cand.items() if s is not None}
-    if all(_assign(p, mgm, 1) for p in fused) if fused else False:
-        slope = 1
+    if (all(_assign(p, mgm, 1) for p in fused) if fused else False):
         cand = {p: _assign(p, mgm, 1) for p in fused}
+        slope = 1
     else:
         slope = 2
     leftover = [p for p in range(ndir) if p not in fused]
-    launches = {"fwd": [], "bwd": []}
-    spaces = []
-    for p in sorted(fused):
-        space, d, ranks = cand[p]
-        full = PASS_DIRS[p]
-        border = (any(dx < 0 for dx, dy in full),
-                  any(dx > 0 for dx, dy in full),
-                  any(dy < 0 for dx, dy in full),
-                  any(dy > 0 for dx, dy in full))
-        launches[d].append((p, space, ranks, border))
-        if space not in spaces:
-            spaces.append(space)
-    spaces = [s for s in ("A", "B") if s in spaces]  # A-first plane order
-    out = [(d, ms) for d, ms in launches.items() if ms]
-    return out, leftover, slope, spaces
+    groups = []
+    for kind in ("AB", "V"):
+        launches = {"fwd": [], "bwd": []}
+        spaces = []
+        for p in sorted(fused):
+            space, d, ranks = cand[p]
+            if (space == "V") != (kind == "V"):
+                continue
+            full = PASS_DIRS[p]
+            border = (any(dx < 0 for dx, dy in full),
+                      any(dx > 0 for dx, dy in full),
+                      any(dy < 0 for dx, dy in full),
+                      any(dy > 0 for dx, dy in full))
+            launches[d].append((p, space, ranks, border))
+            if space not in spaces:
+                spaces.append(space)
+        if spaces:
+            spaces = ([s for s in ("A", "B") if s in spaces]
+                      if kind == "AB" else ["V"])
+            groups.append((slope if kind == "AB" else 0, spaces,
+                           [(d, ms) for d, ms in launches.items() if ms]))
+    return groups, leftover
 
 
 def _skew_rows(a, slope: int, t_len: int, fill):
@@ -137,29 +162,27 @@ def _col_window(a, start: int, width: int, fill):
                                 axis=a.ndim - 1)
 
 
-def run_fused(launches, spaces, left, right, w8, *, sides, L, C, R,
-              slope, mgm, p1, p2, mode, nch, tmax, use_fh, use_weights,
-              kappa, interpret=False):
-    """Run all fused passes: one forward and (if present) one backward
-    accumulating kernel launch over planes = sides x spaces.
+def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
+               slope, mgm, p1, p2, mode, nch, tmax, use_fh, use_weights,
+               kappa, fold_group, interpret):
+    """Run one geometry group (skewed A/B or column-front V): one
+    forward and (if present) one backward accumulating kernel launch
+    over planes = sides x spaces.
 
     left/right: per-side preprocessed image pairs (side n >= 1, the LR
     check's second solve, swaps them).  sides: tuple of (gmin, lo, hi)
-    static ints per side.  Returns the (N, H, W, L) per-plane-summed
-    volumes assembled to image space, summed over spaces per side (the
-    kappa * CC overcount term folded once per side).
+    static ints per side.  fold_group: this group's first launch folds
+    the kappa * CC overcount term (exactly one group may).
+    Returns the transposed raw output (Mp, RP, Tp, L).
     """
     N = len(sides)
     G = 8
-    Rp = -(-R // 128) * 128
-    rpb = 8 // slope
-    RP = -(-Rp // rpb) * rpb          # rows padded for the unskew grid
     T = C + slope * (RP - 1) + 8
     Tp = -(-T // G) * G
     SLAB = -(-(G + L - 1) // 8) * 8
     Tv = Tp + SLAB
-    A0 = {"A": 0, "B": slope * (RP - 1)}
-    SS = {"A": -1, "B": 1}
+    A0 = {"A": 0, "B": slope * (RP - 1), "V": 0}
+    SS = {"A": -1, "B": 1, "V": -1}
 
     int_img = jnp.issubdtype(left[0].dtype, jnp.integer)
     ifill = 0 if int_img else 0.0
@@ -171,9 +194,10 @@ def run_fused(launches, spaces, left, right, w8, *, sides, L, C, R,
     for space in spaces:
         for n, (gmin, lo, hi) in enumerate(sides):
             plane_ix[(n, space)] = len(plane_specs)
-            # the overcount kappa*CC folds once per side, on the first
-            # space's forward launch (all spaces share the side's CC)
-            fold = (space == spaces[0]) and (kappa != 0.0)
+            # the overcount kappa*CC folds once per side, on the fold
+            # group's first space's forward launch (all spaces share
+            # the side's CC)
+            fold = fold_group and (space == spaces[0]) and (kappa != 0.0)
             plane_specs.append((gmin, lo, hi, A0[space], SS[space], fold))
             u_c = jnp.moveaxis(left[n], -1, 0)     # (Cch, R, C)
             v_c = jnp.moveaxis(right[n], -1, 0)
@@ -226,15 +250,48 @@ def run_fused(launches, spaces, left, right, w8, *, sides, L, C, R,
             use_weights=use_weights, kappa=kappa, reverse=(d == "bwd"),
             interpret=interpret)                   # (Mp, Tp, L, RP)
 
-    # ---- assembly: unskew per plane + sum spaces per side ------------
-    out = jnp.transpose(out, (0, 3, 1, 2))         # (Mp, RP, Tp, L)
-    sp_tags = [0 if plane_specs[i][4] == -1 else 1
-               for i in range(len(plane_specs))]
-    vols = pf.unskew_planes(out, C, R, slope, sp_tags, interpret)
+    return jnp.transpose(out, (0, 3, 1, 2))        # (Mp, RP, Tp, L)
+
+
+def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
+              mode, nch, tmax, use_fh, use_weights, kappa,
+              interpret=False, assemble=True):
+    """Run all fused-pass groups (skewed A/B + column-front V), sharing
+    one row padding RP so their raw outputs are row-aligned.
+
+    assemble=True: unskew every plane and return the (N, H, W, L)
+    per-side sum.  assemble=False: return the raw per-group outputs
+    [(raw (Mp, RP, Tp_g, L), slope_g, spaces_g), ...] for the fused
+    unskew+WTA assembly (ops/pallas_fused.unskew_wta_planes).
+    """
+    N = len(sides)
+    Rp = -(-R // 128) * 128
+    slope_ab = next((s for s, _, _ in groups if s > 0), 1)
+    rpb = 8 // slope_ab
+    RP = -(-Rp // rpb) * rpb          # rows padded for the unskew grid
+    outs = []
+    first = True
+    for slope_g, spaces_g, launches_g in groups:
+        raw = _run_group(launches_g, spaces_g, left, right, w8,
+                         sides=sides, L=L, C=C, R=R, RP=RP, slope=slope_g,
+                         mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
+                         tmax=tmax, use_fh=use_fh, use_weights=use_weights,
+                         kappa=kappa, fold_group=first, interpret=interpret)
+        first = False
+        outs.append((raw, slope_g, spaces_g))
+    if not assemble:
+        return outs
     total = None
-    for space in spaces:
-        i0 = plane_ix[(0, space)]     # sides are contiguous per space
-        part = vols[i0:i0 + N]
+    for raw, slope_g, spaces_g in outs:
+        if slope_g == 0:
+            part = raw[:, :R, :C, :]  # V unskew: t = c, pure slice
+        else:
+            sp_tags = [0 if s == "A" else 1 for s in spaces_g
+                       for _ in range(N)]
+            vols = pf.unskew_planes(raw, C, R, slope_g, sp_tags, interpret)
+            part = vols[:N]
+            for si in range(1, len(spaces_g)):
+                part = part + vols[si * N:(si + 1) * N]
         total = part if total is None else total + part
     return total
 
@@ -242,11 +299,12 @@ def run_fused(launches, spaces, left, right, w8, *, sides, L, C, R,
 @partial(jax.jit, static_argnames=("sides", "L", "ndir", "mgm", "p1", "p2",
                                   "mode", "nch", "trunc_dist", "use_fh",
                                   "use_weights", "fix_overcount",
-                                  "backend"))
+                                  "backend", "want_S", "const_sw"))
 def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
                     mgm: int, p1: float, p2: float, mode: str, nch: int,
                     trunc_dist: float, use_fh: bool, use_weights: bool,
-                    fix_overcount: bool, backend: str = "fused"):
+                    fix_overcount: bool, backend: str = "fused",
+                    want_S: bool = True, const_sw: bool = False):
     """One MGM solve from preprocessed images, cost volume fused into
     the recursion.  Semantically identical to solver.mgm_solve on the
     equivalent dense volume (mgm_core.cc:408-613 of gfacciol/mgm), for
@@ -257,6 +315,10 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     w8: (N, H, W, 8) edge weights when use_weights.
     s_lo/s_hi: (N, H, W) int32 S/WTA label windows.
     sides: static tuple of (gmin, lo, hi) ints per side.
+    want_S=False + const_sw=True (caller asserts s_lo/s_hi equal the
+    per-side constant windows of `sides`, i.e. no TSGM_ITER tightening)
+    enables the fused unskew+WTA assembly: the (N, H, W, L) volume is
+    never materialised and S comes back as None.
     Returns (S, disp, cost) exactly as solver.mgm_solve.
     """
     H, W, _ = u_p.shape
@@ -272,14 +334,25 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     else:
         lefts, rights = [u_p, v_p][:N], [v_p, u_p][:N]
 
-    launches, leftover, slope, spaces = split_passes(ndir, mgm)
+    groups, leftover = split_passes(ndir, mgm)
     kappa = -float(ndir - 1) if fix_overcount else 0.0
 
+    if groups and not leftover and not want_S and const_sw:
+        # fused unskew+WTA: skip the unskewed volume entirely
+        group_outs = run_fused(
+            groups, lefts, rights, w8, sides=sides, L=L, C=W,
+            R=H, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
+            tmax=tmax, use_fh=use_fh, use_weights=use_weights,
+            kappa=kappa, interpret=interpret, assemble=False)
+        disp, cost = pf.unskew_wta_planes(group_outs, W, H, sides,
+                                          interpret)
+        return None, disp, cost
+
     lsum = None
-    if launches:
+    if groups:
         lsum = run_fused(
-            launches, spaces, lefts, rights, w8, sides=sides, L=L, C=W,
-            R=H, slope=slope, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
+            groups, lefts, rights, w8, sides=sides, L=L, C=W,
+            R=H, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
             tmax=tmax, use_fh=use_fh, use_weights=use_weights,
             kappa=kappa, interpret=interpret)
 

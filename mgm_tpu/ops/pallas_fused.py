@@ -155,6 +155,120 @@ def unskew_planes(y, C: int, R: int, slope: int, spaces,
     return out[:, :R]
 
 
+def _wta_kernel(*refs, C, slope, rpb, A0, L, sides, have):
+    """Fused unskew + cross-space sum + WTA for one row group.
+
+    Replaces unskew -> space-sum -> S-window -> argmin/min
+    (mgm_core.cc:582-609) when the caller needs only disp/cost and the
+    S/WTA label windows equal the per-side constant CC windows: the
+    unskewed (N, H, W, L) volume is never materialised.  Inputs are
+    row-group blocks of the transposed launch outputs, one per space in
+    `have` (subset of "A", "B", "V" in that order); per row the values
+    of the same pixel are static sublane slices (A/B: the residue trick
+    of _unskew_kernel; V: the identity window t = c), summed in VMEM
+    and reduced over the label (lane) axis.  Ties pick the lowest
+    label, as jnp.argmin does; an all-invalid window yields idx 0 and
+    +inf cost exactly like the dense path.
+    """
+    n_in = len(have)
+    in_refs = refs[:n_in]
+    d_ref, c_ref = refs[n_in:]
+    k = pl.program_id(0)
+    lab = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+
+    def space_slice(ref, n, j, sp):
+        if sp == "V":
+            return ref[n, j, :C, :]
+        if sp == "B":
+            c0 = 8 * ((A0 - slope * j) // 8)
+            base = pl.multiple_of(c0 - 8 * k, 8)
+            res = (A0 - slope * j) % 8
+        else:
+            base = pl.multiple_of(8 * k, 8)
+            res = slope * j
+        buf = ref[n, j, pl.ds(base, C + 8), :]
+        return buf[res:res + C, :]
+
+    Cp = d_ref.shape[2]
+    for n, (gmin, lo, hi) in enumerate(sides):
+        in_win = (lab >= lo) & (lab <= hi)
+        for j in range(rpb):
+            s = None
+            for ref, sp in zip(in_refs, have):
+                sl = space_slice(ref, n, j, sp)
+                s = sl if s is None else s + sl
+            cand = jnp.where(in_win & (s < INF) & (s > -INF), s, INF)
+            cost = jnp.min(cand, axis=-1, keepdims=True)       # (C, 1)
+            idx = jnp.min(jnp.where(cand == cost, lab, L), axis=-1,
+                          keepdims=True)
+            if Cp != C:
+                cost = jnp.pad(cost, ((0, Cp - C), (0, 0)))
+                idx = jnp.pad(idx, ((0, Cp - C), (0, 0)))
+            d_ref[n, 0, :, pl.ds(j, 1)] = (gmin + idx).astype(jnp.float32)
+            c_ref[n, 0, :, pl.ds(j, 1)] = cost
+
+
+def unskew_wta_planes(group_outs, C: int, R: int, sides,
+                      interpret=False):
+    """Raw fused-launch outputs -> (disp, cost), each (N, R, C)
+    float32, N = len(sides).
+
+    group_outs: [(y (Mp, RP, Tp_g, L), slope_g, spaces_g), ...] as
+    returned by run_fused(assemble=False); within the skewed group the
+    plane order is space-contiguous (all A planes, then all B planes),
+    sides contiguous within a space."""
+    N = len(sides)
+    RP = group_outs[0][0].shape[1]
+    L = group_outs[0][0].shape[3]
+    slope = next((s for _, s, _ in group_outs if s > 0), 1)
+    rpb = 8 // slope
+    assert RP % rpb == 0
+    args, in_specs, have = [], [], []
+    total_bytes = 0
+    for y, slope_g, spaces_g in group_outs:
+        assert y.shape[1] == RP
+        Tp_g = y.shape[2]
+        total_bytes += y.size * 4
+        for si, sp in enumerate(spaces_g):
+            args.append(y)
+            in_specs.append(
+                pl.BlockSpec((N, rpb, Tp_g, L),
+                             functools.partial(
+                                 lambda k, _si: (_si, k, 0, 0), _si=si),
+                             memory_space=pltpu.VMEM))
+            have.append(sp if slope_g > 0 else "V")
+    order = {"A": 0, "B": 1, "V": 2}
+    perm = sorted(range(len(have)), key=lambda i: order[have[i]])
+    args = [args[i] for i in perm]
+    in_specs = [in_specs[i] for i in perm]
+    have = [have[i] for i in perm]
+    Cp = -(-C // 8) * 8
+    disp, cost = pl.pallas_call(
+        functools.partial(_wta_kernel, C=C, slope=slope, rpb=rpb,
+                          A0=slope * (RP - 1), L=L, sides=tuple(sides),
+                          have=tuple(have)),
+        grid=(RP // rpb,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((N, 1, Cp, rpb), lambda k: (0, k, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((N, RP // rpb, Cp, rpb),
+                                        jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=total_bytes,
+            bytes_accessed=total_bytes,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+    def reassemble(x):
+        # (N, RP/rpb, Cp, rpb) -> (N, R, C): row r = k*rpb + j
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(N, RP, Cp)
+        return x[:, :R, :C]
+
+    return reassemble(disp), reassemble(cost)
+
+
 def _u1(u_t, c):
     """(Mp, Cch, R) -> (Mp, 1, R) channel slice.  Plain slicing: a mixed
     int+newaxis index lowers to an (unsupported >2D) Mosaic gather."""

@@ -298,7 +298,9 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 p1=p1, p2=p2, mode=cfg.distance, nch=int(u_p.shape[2]),
                 trunc_dist=cfg.trunc_dist, use_fh=cfg.use_trunc_linear,
                 use_weights=use_weights,
-                fix_overcount=cfg.fix_overcount, backend=fused)
+                fix_overcount=cfg.fix_overcount, backend=fused,
+                want_S=(cfg.refinement != "none"),
+                const_sw=(it == 0))
         else:
             S, disp, cost = mgm_solve(
                 cc, w8 if use_weights else None, lo_idx, hi_idx, s_lo, s_hi,

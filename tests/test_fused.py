@@ -100,29 +100,102 @@ def test_fused_matches_dense_solver(rng, case):
     _compare(rng, **case)
 
 
+WTA_CASES = [
+    dict(ndir=1, mgm=1),                      # single space, fwd only
+    dict(ndir=2, mgm=2),                      # space A fwd+bwd
+    dict(ndir=4, mgm=2),                      # both spaces, slope 1
+    dict(ndir=4, mgm=2, test_lr=False),
+    dict(ndir=4, mgm=2, mode="census", C=1),
+    dict(ndir=4, mgm=3, use_fh=True, p1=2.0, p2=50.0),
+    dict(ndir=4, mgm=3, use_weights=True),
+    dict(ndir=2, mgm=4),                      # slope 2 (NE dep active)
+    dict(ndir=4, mgm=2, fix_overcount=False),
+    dict(ndir=4, mgm=2, dmin=-40, dmax=26),
+    dict(ndir=8, mgm=3),                      # A+B+V, three-space sum
+    dict(ndir=8, mgm=2, use_fh=True, p1=2.0, p2=50.0),
+    dict(ndir=8, mgm=1),                      # slope-1 A+B, all 8 passes
+]
+
+
+@pytest.mark.parametrize("case", WTA_CASES,
+                         ids=[str(sorted(c.items())) for c in WTA_CASES])
+def test_fused_wta_fast_path(rng, case):
+    """want_S=False + const_sw=True runs the fused unskew+WTA assembly
+    (no unskewed volume); disp/cost must match the materialised path
+    except at exact WTA ties."""
+    kw = dict(H=18, W=29, dmin=-6, dmax=4, mode="ad", C=2, use_fh=False,
+              use_weights=False, fix_overcount=True, test_lr=True,
+              p1=8.0, p2=32.0)
+    kw.update(case)
+    H, W, dmin, dmax = kw["H"], kw["W"], kw["dmin"], kw["dmax"]
+    u = rng.uniform(0, 80, (H, W, kw["C"])).astype(np.float32)
+    v = rng.uniform(0, 80, (H, W, kw["C"])).astype(np.float32)
+    L = dmax - dmin + 1
+    sides = ((dmin, 0, L - 1),)
+    if kw["test_lr"]:
+        sides += ((-dmax, 0, L - 1),)
+    N = len(sides)
+    if kw["mode"] == "census":
+        from mgm_tpu.ops.census import census_transform
+        u_p = census_transform(jnp.asarray(u), 1)
+        v_p = census_transform(jnp.asarray(v), 1)
+    else:
+        u_p, v_p = jnp.asarray(u), jnp.asarray(v)
+    w8 = None
+    if kw["use_weights"]:
+        w8 = jnp.asarray(
+            np.where(rng.random((N, H, W, 8)) < 0.5, 0.25, 1.0)
+            .astype(np.float32))
+    lo = jnp.zeros((N, H, W), jnp.int32)
+    hi = jnp.full((N, H, W), L - 1, jnp.int32)
+    common = dict(sides=sides, L=L, ndir=kw["ndir"], mgm=kw["mgm"],
+                  p1=kw["p1"], p2=kw["p2"], mode=kw["mode"],
+                  nch=u_p.shape[2], trunc_dist=float("inf"),
+                  use_fh=kw["use_fh"], use_weights=kw["use_weights"],
+                  fix_overcount=kw["fix_overcount"], backend="interpret")
+    # no leftover passes: the fast gate must actually take the fused
+    # WTA branch for every case here
+    _, leftover = split_passes(kw["ndir"], kw["mgm"])
+    assert not leftover
+    S0, d0, c0 = mgm_solve_fused(u_p, v_p, w8, lo, hi, **common)
+    S1, d1, c1 = mgm_solve_fused(u_p, v_p, w8, lo, hi, want_S=False,
+                                 const_sw=True, **common)
+    assert S1 is None
+    S0, d0, c0, d1, c1 = map(np.asarray, (S0, d0, c0, d1, c1))
+    np.testing.assert_allclose(c1, c0, atol=1e-5, rtol=1e-6,
+                               equal_nan=True)
+    diff = np.argwhere(d0 != d1)
+    for n, y, x in diff:      # only exact WTA ties may flip
+        la = int(d0[n, y, x]) - sides[n][0]
+        lb = int(d1[n, y, x]) - sides[n][0]
+        assert S0[n, y, x, la] == S0[n, y, x, lb], \
+            f"non-tie disparity mismatch at {(n, y, x)}"
+
+
 def test_fused_table():
     """Bidirectional space-assignment coverage per the pass dependency
-    sets (mgm_core.cc:463-471)."""
-    always = {0, 1, 4, 6}
+    sets (mgm_core.cc:463-471): with the slope-0 column-front space V,
+    every 8-dir pass fuses at mgm <= 3; at mgm = 4 the passes with a
+    vertical 4th dep (2, 3, 5, 7) fall back."""
     for mgm in (1, 2, 3, 4):
         ok = {p for p in range(8) if fused_spec(p, mgm) is not None}
-        assert always <= ok
-        if mgm == 1:
-            assert ok == set(range(8))
-        elif mgm in (2, 3):
-            assert ok == always | {2, 3}
-        else:
-            assert ok == always
+        assert ok == (set(range(8)) if mgm <= 3 else {0, 1, 4, 6})
     # knight passes never fuse
     assert fused_spec(8, 1) is None
-    launches, leftover, slope, spaces = split_passes(8, 2)
-    assert sorted(leftover) == [5, 7]
-    assert sum(len(ps) for _, ps in launches) == 6
-    assert slope == 2
-    # mgm=1 runs every pass fused at slope 1 (no dep with |dt| == 0)
-    launches1, leftover1, slope1, _ = split_passes(8, 1)
-    assert leftover1 == [] and slope1 == 1
-    assert sum(len(ps) for _, ps in launches1) == 8
+    groups, leftover = split_passes(8, 2)
+    assert leftover == []
+    assert sum(len(ms) for _, _, ls in groups for _, ms in ls) == 8
+    vg = [g for g in groups if g[0] == 0]
+    assert len(vg) == 1
+    assert {p for _, ms in vg[0][2] for p, *_ in ms} == {5, 7}
+    # mgm=1 runs every pass in the skewed group at slope 1
+    groups1, leftover1 = split_passes(8, 1)
+    assert leftover1 == [] and len(groups1) == 1 and groups1[0][0] == 1
+    assert sum(len(ms) for _, ms in groups1[0][2]) == 8
+    # mgm=4: no V group (passes 5, 7 gain a vertical dep), leftover 4
+    groups4, leftover4 = split_passes(8, 4)
+    assert sorted(leftover4) == [2, 3, 5, 7]
+    assert len(groups4) == 1 and groups4[0][0] == 2
 
 
 def test_fused_full_pipeline_crop(rng, monkeypatch):
