@@ -22,6 +22,7 @@ the skewed arrays ~30%.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -176,7 +177,10 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     Returns the transposed raw output (Mp, RP, Tp, L).
     """
     N = len(sides)
-    G = 8
+    # front-block depth: more fronts per grid step amortise per-step
+    # overhead but grow the (Mp, G, L, Rp) in/out blocks; 8 is safe
+    # everywhere, 16 is worth trying on large-VMEM parts
+    G = int(os.environ.get("MGM_TPU_FUSED_G", "8"))
     T = C + slope * (RP - 1) + 8
     Tp = -(-T // G) * G
     SLAB = -(-(G + L - 1) // 8) * 8

@@ -1,0 +1,76 @@
+"""On-device parity sweep: fused Pallas path vs the XLA path, on TPU.
+
+The pytest suite runs hermetically on CPU, where the fused path is
+exercised only in Pallas interpret mode on small crops — Mosaic
+lowering bugs that depend on real tile shapes can slip through.  This
+sweep runs crop-sized problems on the attached TPU with the fused path
+on and off and demands near-bit equality, covering every fused
+geometry: slope 1/2, spaces A/B/V, fwd/bwd accumulation, the fast
+unskew+WTA assembly, census/FH/weights, and the leftover cost-volume
+mix at mgm=4.
+
+    python scripts/tpu_parity.py            # full sweep
+    python scripts/tpu_parity.py fast_ad:4  # one case (preset:mgm)
+
+Exits non-zero on the first failure.
+"""
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from mgm_tpu.io import read_image
+from mgm_tpu.models.presets import get_preset
+from mgm_tpu.stereo import compute_disparity
+
+DATA = "/root/reference/data"
+
+# (name, preset, overrides) — crop ranges keep compiles fast
+CASES = [
+    ("mgm2_slope1_fastwta", "fast_ad", {}),
+    ("mgm3_all_spaces", "fast_ad", {"ndir": 8, "mgm": 3}),
+    ("mgm4_leftover_mix", "fast_ad", {"mgm": 4}),
+    ("mgm1_slope1_all8", "fast_ad", {"ndir": 8, "mgm": 1}),
+    ("census_fh", "census_tl", {}),
+    ("weights", "fast_ad", {"a_p2": 0.5, "ndir": 8, "mgm": 3}),
+    ("single_side", "fast_ad", {"test_lr": False}),
+    ("bt", "bt", {"refinement": "none"}),
+]
+
+
+def run_case(name, preset, over):
+    u = read_image(f"{DATA}/fountain23-imL.png")[:120, :160]
+    v = read_image(f"{DATA}/fountain23-imR.png")[:120, :160]
+    cfg = get_preset(preset, dmin=-40, dmax=26, test_lr=True, **over)
+    f = compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+    os.environ["MGM_TPU_FUSED"] = "0"
+    try:
+        x = compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+    finally:
+        del os.environ["MGM_TPU_FUSED"]
+    fa, fb = np.isfinite(x["disp"]), np.isfinite(f["disp"])
+    mask = (fa == fb).mean()
+    both = fa & fb
+    eq = (x["disp"][both] == f["disp"][both]).mean() if both.any() else 1.0
+    cerr = (np.abs(x["cost"][both] - f["cost"][both]).max()
+            if both.any() else 0.0)
+    ok = mask >= 0.9995 and eq >= 0.999 and cerr <= 1e-2
+    print(f"[{'ok' if ok else 'FAIL'}] {name}: mask={mask:.5f} "
+          f"eq={eq:.5f} cost_maxerr={cerr:.2e}", flush=True)
+    return ok
+
+
+def main():
+    sel = sys.argv[1:] if len(sys.argv) > 1 else None
+    ok = True
+    for name, preset, over in CASES:
+        if sel and name not in sel:
+            continue
+        ok = run_case(name, preset, over) and ok
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
