@@ -317,7 +317,10 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     u_p, v_p: (H, W, Cch) preprocessed images (uint32 census codes for
       'census'); side n >= 1 (the LR check's right solve) swaps them.
     w8: (N, H, W, 8) edge weights when use_weights.
-    s_lo/s_hi: (N, H, W) int32 S/WTA label windows.
+    s_lo/s_hi: (N, H, W) int32 S/WTA label windows, or None when they
+      equal the per-side constant windows of `sides` (saves the host
+      from materialising them: remote-attached TPUs pay a round-trip
+      per eager dispatch).
     sides: static tuple of (gmin, lo, hi) ints per side.
     want_S=False + const_sw=True (caller asserts s_lo/s_hi equal the
     per-side constant windows of `sides`, i.e. no TSGM_ITER tightening)
@@ -352,13 +355,20 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
                                           interpret)
         return None, disp, cost
 
+    # The WTA overcount fold S[o] += kappa*CC[o] (mgm_core.cc:596-599)
+    # goes through the dense leftover volume when one exists: folding it
+    # inside the fused kernel is correct on crops but miscompiles at
+    # full-scale deep-lag geometry (mgm=4: Rp=512, L=151, lag depth 3
+    # gave ~10% wrong disparities, cost errors ~5e2, while kappa=0 is
+    # bit-exact — the extra in-kernel multiply-add is the trigger, so
+    # it is only used when no dense volume is around to fold on).
     lsum = None
     if groups:
         lsum = run_fused(
             groups, lefts, rights, w8, sides=sides, L=L, C=W,
             R=H, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
             tmax=tmax, use_fh=use_fh, use_weights=use_weights,
-            kappa=kappa, interpret=interpret)
+            kappa=0.0 if leftover else kappa, interpret=interpret)
 
     if leftover:
         # the cost-volume builder computes its own BT aux channels, so
@@ -371,12 +381,15 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             ccs.append(build_cost_volume(
                 raw_l[n], raw_r[n], lo_a, hi_a, gmin, distance=mode, L=L,
                 trunc_dist=trunc_dist, backend=agg_backend))
-        cc = jnp.stack(ccs)
+        # same barriers as solver.mgm_solve: keep the builder and the
+        # downstream consumers from fusing into the wavefront scan
+        cc = jax.lax.optimization_barrier(jnp.stack(ccs))
         part = aggregate(cc, w8 if use_weights else None, None, None,
                          p1=p1, p2=p2, ndir=ndir, mgm=mgm, use_fh=use_fh,
                          use_weights=use_weights, fh_restrict=False,
                          backend=agg_backend, pids=tuple(leftover))
-        if lsum is None and fix_overcount:
+        part = jax.lax.optimization_barrier(part)
+        if fix_overcount:
             part = part + kappa * cc
         lsum = part if lsum is None else lsum + part
 
@@ -391,7 +404,7 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     else:
         outside = 0.0
     s_raw = jnp.where(in_cc, lsum, outside)
-    in_s = window_mask(s_lo, s_hi, L)
+    in_s = in_cc if s_lo is None else window_mask(s_lo, s_hi, L)
     S = jnp.where(in_s, s_raw, INF)
 
     cand = jnp.where(jnp.isfinite(S), S, INF)
