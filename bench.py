@@ -28,8 +28,14 @@ def main():
     from mgm_tpu.io import read_image
     from mgm_tpu.stereo import compute_disparity
 
-    u = read_image("/root/reference/data/fountain23-imL.png")
-    v = read_image("/root/reference/data/fountain23-imR.png")
+    def u8(a):
+        # the PNGs are 8-bit: feed their native representation (the
+        # pipeline casts on device; lossless-checked here once)
+        r = a.astype(np.uint8)
+        return r if np.array_equal(r.astype(np.float32), a) else a
+
+    u = u8(read_image("/root/reference/data/fountain23-imL.png"))
+    v = u8(read_image("/root/reference/data/fountain23-imR.png"))
     cfg = MGMConfig(dmin=-120, dmax=30, ndir=4, mgm=2, distance="ad",
                     p1=8, p2=32, test_lr=True)
     H, W, _ = u.shape

@@ -122,6 +122,20 @@ def _any_weighted(w8):
     return jnp.any(w8 != 1.0)
 
 
+@partial(jax.jit, static_argnames=("H", "W", "los", "his", "flos", "fhis",
+                                   "gmins"))
+def _const_arrays(*, H, W, los, his, flos, fhis, gmins):
+    """Constant-window arrays, built on device in ONE dispatch (each
+    eager jnp op costs a full round-trip on remote-attached TPUs)."""
+    z_i = jnp.zeros((1, H, W), jnp.int32)
+    z_f = jnp.zeros((1, H, W), jnp.float32)
+    lo = jnp.concatenate([z_i + v for v in los])
+    hi = jnp.concatenate([z_i + v for v in his])
+    flo = jnp.concatenate([z_f + v for v in flos])
+    fhi = jnp.concatenate([z_f + v for v in fhis])
+    return lo, hi, flo, fhi, jnp.asarray(gmins, jnp.int32)
+
+
 @jax.jit
 def _tighten(disp, flo, fhi, gmin, L):
     """update_dmin_dmax between iterations -> new S windows."""
@@ -160,7 +174,8 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                       dmax_img: np.ndarray | None = None,
                       outputs: tuple | None = None,
                       mesh=None) -> dict:
-    """Host entry point.  u, v: (H, W, C) float arrays.
+    """Host entry point.  u, v: (H, W, C) float arrays (uint8 also
+    accepted and uploaded as-is; the device stages cast to float32).
 
     Returns dict with 'disp', 'cost', 'disp_nolr', 'backflow' (left
     side) and 'disp_right', 'cost_right' when the LR check ran.
@@ -175,8 +190,12 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     the mesh size.
     """
     prof = [time.perf_counter()] if os.environ.get("MGM_TPU_PROFILE") else None
-    u = np.asarray(u, np.float32)
-    v = np.asarray(v, np.float32)
+    u = np.asarray(u)
+    v = np.asarray(v)
+    if u.dtype != np.uint8:
+        u = np.asarray(u, np.float32)
+    if v.dtype != np.uint8:
+        v = np.asarray(v, np.float32)
     H, W, C = u.shape
 
     # per-pixel disparity windows (mgm.cc:338-353)
@@ -230,18 +249,27 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         flo_j = jnp.asarray(np.stack(flo_s))
         fhi_j = jnp.asarray(np.stack(fhi_s))
     else:
-        # constant windows: build on device, no host uploads
+        # constant windows: deferred — built on device in one jitted
+        # dispatch by _win() only for the paths that consume them (the
+        # fused it==0 solve takes them statically through `sides`)
         los = [cfg.dmin - gmin_l] + ([-cfg.dmax - gmin_r] if n_sides == 2
                                      else [])
         his = [cfg.dmax - gmin_l] + ([-cfg.dmin - gmin_r] if n_sides == 2
                                      else [])
-        lo_idx = jnp.asarray(los, jnp.int32)[:, None, None] *             jnp.ones((1, H, W), jnp.int32)
-        hi_idx = jnp.asarray(his, jnp.int32)[:, None, None] *             jnp.ones((1, H, W), jnp.int32)
         flo_v = [cfg.dmin] + ([-cfg.dmax] if n_sides == 2 else [])
         fhi_v = [cfg.dmax] + ([-cfg.dmin] if n_sides == 2 else [])
-        flo_j = jnp.asarray(flo_v, jnp.float32)[:, None, None] *             jnp.ones((1, H, W), jnp.float32)
-        fhi_j = jnp.asarray(fhi_v, jnp.float32)[:, None, None] *             jnp.ones((1, H, W), jnp.float32)
-    gmin_j = jnp.asarray(gmin)
+        lo_idx = hi_idx = flo_j = fhi_j = None
+    gmin_j = jnp.asarray(gmin) if per_pixel else None
+
+    def _win():
+        """Materialise the constant-window arrays (idempotent)."""
+        nonlocal lo_idx, hi_idx, flo_j, fhi_j, gmin_j
+        if lo_idx is None:
+            lo_idx, hi_idx, flo_j, fhi_j, gmin_j = _const_arrays(
+                H=H, W=W, los=tuple(los), his=tuple(his),
+                flos=tuple(flo_v), fhis=tuple(fhi_v),
+                gmins=tuple(int(g) for g in gmin))
+        return lo_idx, hi_idx
     p1 = cfg.p1 * C  # scaled by the *original* channel count (mgm.cc:356)
     p2 = cfg.p2 * C
 
@@ -257,6 +285,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         backend = "xla"
+        _win()
 
         def _shard(a, *spec):
             host = np.asarray(a)
@@ -271,14 +300,17 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         flo_j = _shard(flo_j, None, "y", None)
         fhi_j = _shard(fhi_j, None, "y", None)
         gmin_j = _shard(gmin_j)
-    _mark("host prep", prof, (lo_idx, hi_idx))
+    _mark("host prep", prof, (u_dev, v_dev))
     cc = None
     if fused:
         u_p, v_p, w8, u_j, v_j = _prep_fused(
             u_dev, v_dev, cfg=cfg, n_sides=n_sides)
         sides = tuple((int(gmin[n]), int(los[n]), int(his[n]))
                       for n in range(n_sides))
+        if cfg.refinement != "none" or cfg.iterations > 1 or cfg.debug:
+            _win()
     else:
+        _win()
         cc, w8, u_j, v_j = _build_volumes(u_dev, v_dev,
                                           lo_idx, hi_idx,
                                           cfg=cfg, L=int(L),
