@@ -31,6 +31,16 @@ def _configure_compilation_cache():
         "jax_persistent_cache_min_compile_time_secs",
         float(_os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
 
+    # honour JAX_PLATFORMS even under a sitecustomize jax preload (the
+    # env var is read at import, which already happened); a config
+    # update still wins as long as no backend has been initialised
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if plat and jax.config.jax_platforms != plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # backend already initialised: leave as-is
+            pass
+
 
 _configure_compilation_cache()
 
