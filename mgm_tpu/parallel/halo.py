@@ -147,9 +147,11 @@ def halo_aggregate(mesh: Mesh, cc, w8=None, *, p1: float, p2: float,
     of the aggregated Lr volumes over the first `ndir` passes,
     identical to ops.aggregate (xla backend) bit for bit.
 
-    Constraint: H and W must divide the mesh size (row tiles must be
-    equal); label windows must be the global axis (per-pixel windows
-    enter through +inf cells of cc, which the halo carries exactly).
+    Any H/W works: canonical rows pad to a multiple of the mesh size
+    with +inf cost rows at the bottom (they receive messages but feed
+    none back — rows only read the row above, and the ring wrap into
+    device 0 is masked); label windows enter through +inf cells of cc,
+    which the halo carries exactly.
     """
     n_dev = mesh.devices.size
     out = None
@@ -159,14 +161,17 @@ def halo_aggregate(mesh: Mesh, cc, w8=None, *, p1: float, p2: float,
         N, H, W, L = cc.shape
         rm = specs[0].row_major
         knight = specs[0].knight
-        R, C = (H, W) if rm else (W, H)
-        assert R % n_dev == 0, "row tiles must divide the mesh"
+        R0, C = (H, W) if rm else (W, H)
+        R = -(-R0 // n_dev) * n_dev  # equal row tiles per device
         d2o = _dir2off(specs[0])[:mgm]
         offsets = sorted(set(d2o))
         T = C + 2 * R - 2
 
         cc_c = jnp.stack([to_canonical(cc, s, 1, 2) for s in specs])
-        cc_c = cc_c.reshape(B * N, R, C, L)
+        cc_c = cc_c.reshape(B * N, R0, C, L)
+        if R != R0:
+            cc_c = jnp.pad(cc_c, ((0, 0), (0, R - R0), (0, 0), (0, 0)),
+                           constant_values=INF)
         lr_sk = skew(cc_c, INF, 1, 2)
         mins_sk = jnp.min(lr_sk, axis=-1)
 
@@ -180,7 +185,10 @@ def halo_aggregate(mesh: Mesh, cc, w8=None, *, p1: float, p2: float,
                 wm = jnp.stack([to_canonical(w8[..., c], s, 1, 2)
                                 for c in chs], axis=1)
                 wmaps.append(wm)
-            w_c = jnp.stack(wmaps).reshape(B * N, -1, R, C)
+            w_c = jnp.stack(wmaps).reshape(B * N, -1, R0, C)
+            if R != R0:
+                w_c = jnp.pad(w_c, ((0, 0), (0, 0), (0, R - R0), (0, 0)),
+                              constant_values=1.0)
             w_sk = skew(w_c, 1.0, 2, 3)
 
         fn = partial(_halo_scan, T=T, C=C, p1=p1, p2=p2, mgm=mgm,
@@ -197,7 +205,7 @@ def halo_aggregate(mesh: Mesh, cc, w8=None, *, p1: float, p2: float,
                        out_specs=P(None, AXIS, None, None),
                        check_rep=False)(*args)
 
-        lr = unskew(lr, C, 1, 2).reshape(B, N, R, C, L)
+        lr = unskew(lr, C, 1, 2).reshape(B, N, R, C, L)[:, :, :R0]
         part = from_canonical(lr[0], specs[0], 1, 2)
         for b in range(1, B):
             part = part + from_canonical(lr[b], specs[b], 1, 2)

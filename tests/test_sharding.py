@@ -97,6 +97,30 @@ def test_halo_aggregate_exact(rng, ndir, mgm):
                                    atol=1e-3, rtol=1e-6)
 
 
+def test_halo_aggregate_ragged_rows(rng):
+    """Row/column counts that do NOT divide the mesh size: canonical
+    rows pad with +inf cost rows (messages only flow downward, so the
+    padding is inert) and the result still matches single-device."""
+    from mgm_tpu.ops.aggregate import aggregate
+    from mgm_tpu.parallel.halo import halo_aggregate
+
+    N, H, W, L = 2, 13, 7, 6  # 13 rows over 4 devices -> pad to 16
+    cc = jnp.asarray(rng.uniform(0, 50, (N, H, W, L)).astype(np.float32))
+    w8 = jnp.asarray(np.where(rng.random((N, H, W, 8)) < 0.5, 0.25, 1.0)
+                     .astype(np.float32))
+    mesh = make_mesh(4)
+    want = aggregate(cc, None, None, None, p1=8.0, p2=32.0, ndir=4, mgm=2,
+                     backend="xla")
+    got = halo_aggregate(mesh, cc, p1=8.0, p2=32.0, ndir=4, mgm=2)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    want = aggregate(cc, w8, None, None, p1=5.0, p2=19.0, ndir=8, mgm=4,
+                     use_fh=True, use_weights=True, backend="xla")
+    got = halo_aggregate(mesh, cc, w8, p1=5.0, p2=19.0, ndir=8, mgm=4,
+                         use_fh=True, use_weights=True)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               atol=1e-3, rtol=1e-6)
+
+
 def test_halo_aggregate_weighted_fh(rng):
     from mgm_tpu.ops.aggregate import aggregate
     from mgm_tpu.parallel.halo import halo_aggregate
