@@ -164,7 +164,6 @@ def _ncc_costs(u, v, gmin, L, win):
     hw = win // 2
     n = jnp.float32((2 * hw + 1) ** 2)
     x = jnp.arange(W)
-    p_ok = (x >= hw) & (x < W - hw)
     if H <= 2 * hw:
         return jnp.full((H, W, L), INF, jnp.float32)
     y_ok = (jnp.arange(H) >= hw) & (jnp.arange(H) < H - hw)
@@ -174,24 +173,38 @@ def _ncc_costs(u, v, gmin, L, win):
     s2 = _box(v * v, hw) / n
     var1 = s1 - mu1 * mu1
     vms_pad, left = _pad_cols(jnp.concatenate([v, mu2, s2], -1), gmin, L)
+    # room for the last label block's full (W + B - 1)-wide slice: the
+    # overhang labels are discarded, but a clamped dynamic_slice would
+    # silently shift the in-range ones
+    vms_pad = jnp.pad(vms_pad, [(0, 0), (0, 8), (0, 0)], mode="edge")
 
-    def per_label(l):
-        qx_col = x + (gmin + l)
-        q_ok = (qx_col >= hw) & (qx_col < W - hw)
-        sh = _shifted(vms_pad, left, gmin, l, W)
-        vg, mu2g, s2g = sh[..., :C], sh[..., C:2 * C], sh[..., 2 * C:]
-        prod = _box(u * vg, hw) / n
+    # Label-blocked, not per-label: the box filters run ONCE per block
+    # of B labels on an (H, W, B, C) stack (the shift ops vectorise over
+    # the label axis), so the sequential depth is L/B and the unrolled
+    # op count stays ~L/B * const (an L-fold unroll of the filters sends
+    # the TPU toolchain's compile time through the roof; a lax.map over
+    # single labels serialises 151 tiny steps).
+    B = 8
+    Lp = -(-L // B) * B
+    blocks = []
+    for l0 in range(0, Lp, B):
+        sh = jax.lax.dynamic_slice_in_dim(
+            vms_pad, left + gmin + l0, W + B - 1, axis=1)
+        # (H, W, B, 3C): label l0+k reads columns shifted by k
+        sb = jnp.stack([jax.lax.slice_in_dim(sh, k, k + W, axis=1)
+                        for k in range(B)], axis=2)
+        vg, mu2g, s2g = sb[..., :C], sb[..., C:2 * C], sb[..., 2 * C:]
+        prod = _box(u[:, :, None, :] * vg, hw) / n
         denom = jnp.sqrt(jnp.maximum(jnp.float32(1e-7),
-                                     var1 * (s2g - mu2g * mu2g)))
-        ncc = jnp.sum((prod - mu1 * mu2g) / denom, axis=-1)
+                                     var1[:, :, None, :]
+                                     * (s2g - mu2g * mu2g)))
+        ncc = jnp.sum((prod - mu1[:, :, None, :] * mu2g) / denom, axis=-1)
         clipped = (C - jnp.clip(ncc, 0.0, float(C))) * jnp.float32(64)
-        ok = p_ok[None, :] & q_ok[None, :] & y_ok[:, None]
-        return jnp.where(ok, clipped, INF)
-
-    # lax.map, not a Python unroll: L-fold unrolled box filters send the
-    # TPU toolchain's compile time through the roof
-    costs = jax.lax.map(per_label, jnp.arange(L))       # (L, H, W)
-    return jnp.moveaxis(costs, 0, -1)
+        qx_col = x[None, :, None] + (gmin + l0 + jnp.arange(B)[None, None])
+        ok = ((x >= hw) & (x < W - hw))[None, :, None] \
+            & (qx_col >= hw) & (qx_col < W - hw) & y_ok[:, None, None]
+        blocks.append(jnp.where(ok, clipped, INF))
+    return jnp.concatenate(blocks, axis=-1)[..., :L]
 
 
 @partial(jax.jit, static_argnames=("gmin", "distance", "L", "trunc_dist",

@@ -9,10 +9,17 @@ geometry: slope 1/2, spaces A/B/V, fwd/bwd accumulation, the fast
 unskew+WTA assembly, census/FH/weights, and the leftover cost-volume
 mix at mgm=4.
 
-    python scripts/tpu_parity.py            # full sweep
-    python scripts/tpu_parity.py fast_ad:4  # one case (preset:mgm)
+    python scripts/tpu_parity.py            # crop sweep
+    python scripts/tpu_parity.py --full     # full-image sweep (slow)
+    python scripts/tpu_parity.py mgm4_leftover_mix  # one case
 
 Exits non-zero on the first failure.
+
+--full exists because crop parity is NOT sufficient: the round-2
+mgm=4 overcount-fold bug produced ~10% wrong disparities ONLY at
+full-image geometry (Rp=512, L=151) while every crop case passed —
+Mosaic lowering varies with tile shapes, so each fused geometry needs
+at least one full-scale run before a config's output is trusted.
 """
 import os
 import sys
@@ -40,10 +47,23 @@ CASES = [
 ]
 
 
-def run_case(name, preset, over):
-    u = read_image(f"{DATA}/fountain23-imL.png")[:120, :160]
-    v = read_image(f"{DATA}/fountain23-imR.png")[:120, :160]
-    cfg = get_preset(preset, dmin=-40, dmax=26, test_lr=True, **over)
+# full-image cases: every fused geometry at production shapes
+FULL_CASES = [
+    ("full_mgm2_fastwta", "fast_ad", {}),
+    ("full_mgm4_leftover", "fast_ad", {"mgm": 4}),
+    ("full_census_fh_o8", "census_tl", {}),
+    ("full_mgm3_spaces", "fast_ad", {"ndir": 8, "mgm": 3}),
+]
+
+
+def run_case(name, preset, over, full=False):
+    u = read_image(f"{DATA}/fountain23-imL.png")
+    v = read_image(f"{DATA}/fountain23-imR.png")
+    if not full:
+        u, v = u[:120, :160], v[:120, :160]
+        cfg = get_preset(preset, dmin=-40, dmax=26, test_lr=True, **over)
+    else:
+        cfg = get_preset(preset, dmin=-120, dmax=30, test_lr=True, **over)
     f = compute_disparity(u, v, cfg, outputs=("disp", "cost"))
     os.environ["MGM_TPU_FUSED"] = "0"
     try:
@@ -63,12 +83,14 @@ def run_case(name, preset, over):
 
 
 def main():
-    sel = sys.argv[1:] if len(sys.argv) > 1 else None
+    args = sys.argv[1:]
+    full = "--full" in args
+    sel = [a for a in args if a != "--full"] or None
     ok = True
-    for name, preset, over in CASES:
+    for name, preset, over in (FULL_CASES if full else CASES):
         if sel and name not in sel:
             continue
-        ok = run_case(name, preset, over) and ok
+        ok = run_case(name, preset, over, full=full) and ok
     return 0 if ok else 1
 
 
