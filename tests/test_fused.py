@@ -198,6 +198,35 @@ def test_fused_table():
     assert len(groups4) == 1 and groups4[0][0] == 2
 
 
+def test_fused_pipeline_deferred_windows_uint8(rng, monkeypatch):
+    """compute_disparity with NO refinement/iterations defers the
+    constant-window arrays entirely (mgm_solve_fused gets s_lo=None);
+    uint8 input images must give the identical result to float32.
+    Covers both the fast-WTA (mgm=2) and leftover-mix (mgm=4) fused
+    geometries against the dense path."""
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import compute_disparity
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[200:240,
+                                                              300:364]
+    v = read_image("/root/reference/data/fountain23-imR.png")[200:240,
+                                                              300:364]
+    for mgm in (2, 4):
+        cfg = MGMConfig(dmin=-20, dmax=6, ndir=4, mgm=mgm, distance="ad",
+                        test_lr=True)
+        monkeypatch.setenv("MGM_TPU_FUSED", "0")
+        a = compute_disparity(u, v, cfg)
+        monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+        b = compute_disparity(u.astype(np.uint8), v.astype(np.uint8), cfg)
+        for k in a:
+            x, y = np.asarray(a[k]), np.asarray(b[k])
+            fx, fy = np.isfinite(x), np.isfinite(y)
+            np.testing.assert_array_equal(fx, fy, err_msg=f"mgm{mgm} {k}")
+            np.testing.assert_allclose(y[fx], x[fx], atol=2e-3,
+                                       err_msg=f"mgm{mgm} {k}")
+
+
 def test_fused_full_pipeline_crop(rng, monkeypatch):
     """compute_disparity end-to-end: fused (interpret) == default path
     on a real image crop, cfg2-style config."""
