@@ -65,10 +65,18 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 continue
             # context window: margin all around, plus the disparity
             # search band on the column axis so every candidate right
-            # pixel of a core left pixel is inside the crop
-            cy0, cy1 = max(0, y0 - margin), min(H, y1 + margin)
-            cx0 = max(0, x0 - margin - pad_l)
-            cx1 = min(W, x1 + margin + pad_r)
+            # pixel of a core left pixel is inside the crop.  The
+            # window has ONE constant shape, shifted inward at scene
+            # edges (extra context there, never less): every tile then
+            # reuses a single compiled program — on toolchains with a
+            # remote compile service, a per-edge-tile shape costs
+            # minutes of compilation each.
+            ctx_h = min(H, tile + 2 * margin)
+            ctx_w = min(W, tile + 2 * margin + pad_l + pad_r)
+            cy0 = min(max(0, y0 - margin), H - ctx_h)
+            cy1 = cy0 + ctx_h
+            cx0 = min(max(0, x0 - margin - pad_l), W - ctx_w)
+            cx1 = cx0 + ctx_w
             res = compute_disparity(
                 u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
                 outputs=("disp", "cost"), mesh=mesh)
