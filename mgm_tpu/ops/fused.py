@@ -165,7 +165,8 @@ def _col_window(a, start: int, width: int, fill):
 
 def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
                slope, mgm, p1, p2, mode, nch, tmax, use_fh, use_weights,
-               kappa, fold_group, interpret):
+               kappa, fold_group, interpret, lohi_px=None,
+               fh_restrict=False):
     """Run one geometry group (skewed A/B or column-front V): one
     forward and (if present) one backward accumulating kernel launch
     over planes = sides x spaces.
@@ -174,6 +175,8 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     check's second solve, swaps them).  sides: tuple of (gmin, lo, hi)
     static ints per side.  fold_group: this group's first launch folds
     the kappa * CC overcount term (exactly one group may).
+    lohi_px: per-pixel (lo, hi) (N, H, W) int32 label windows replacing
+    the constant per-side windows of `sides` (-m/-M, mgm.cc:338-353).
     Returns the transposed raw output (Mp, RP, Tp, L).
     """
     N = len(sides)
@@ -195,6 +198,7 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     plane_ix = {}
     plane_specs = []
     u_sk, v_sk = [], []
+    lo_sk, hi_sk = [], []
     for space in spaces:
         for n, (gmin, lo, hi) in enumerate(sides):
             plane_ix[(n, space)] = len(plane_specs)
@@ -212,8 +216,23 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
             u_sk.append(_skew(u_c, space, slope, Tp, ifill))
             v_shift = _col_window(v_c, gmin, Tv, ifill)
             v_sk.append(_skew(v_shift, space, slope, Tv, ifill))
+            if lohi_px is not None:
+                # pad cells get the full window: they are masked by the
+                # col/row bounds anyway and never trip all-invalid->0
+                lo_c = lohi_px[0][n].astype(jnp.int32)
+                hi_c = lohi_px[1][n].astype(jnp.int32)
+                if RP != R:
+                    pr = [(0, RP - R), (0, 0)]
+                    lo_c = jnp.pad(lo_c, pr, constant_values=0)
+                    hi_c = jnp.pad(hi_c, pr, constant_values=L - 1)
+                lo_sk.append(_skew(lo_c, space, slope, Tp, 0))
+                hi_sk.append(_skew(hi_c, space, slope, Tp, L - 1))
     U = jnp.swapaxes(jnp.stack(u_sk), -1, -2)      # (Mp, Cch, Tp, RP)
     V = jnp.swapaxes(jnp.stack(v_sk), -1, -2)
+    lohi = None
+    if lohi_px is not None:
+        lohi = (jnp.swapaxes(jnp.stack(lo_sk), -1, -2),
+                jnp.swapaxes(jnp.stack(hi_sk), -1, -2))  # (Mp, Tp, RP)
 
     out = None
     for d, passes in launches:
@@ -252,6 +271,7 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
             combos=combos, C=C, R_eff=R, L=L, G=G, slope=slope, mgm=mgm,
             mode=mode, nch=nch, tmax=tmax, p1=p1, p2=p2, use_fh=use_fh,
             use_weights=use_weights, kappa=kappa, reverse=(d == "bwd"),
+            lohi=lohi, fh_restrict=fh_restrict,
             interpret=interpret)                   # (Mp, Tp, L, RP)
 
     return jnp.transpose(out, (0, 3, 1, 2))        # (Mp, RP, Tp, L)
@@ -259,7 +279,8 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
 
 def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
               mode, nch, tmax, use_fh, use_weights, kappa,
-              interpret=False, assemble=True):
+              interpret=False, assemble=True, lohi_px=None,
+              fh_restrict=False):
     """Run all fused-pass groups (skewed A/B + column-front V), sharing
     one row padding RP so their raw outputs are row-aligned.
 
@@ -280,7 +301,8 @@ def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
                          sides=sides, L=L, C=C, R=R, RP=RP, slope=slope_g,
                          mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
                          tmax=tmax, use_fh=use_fh, use_weights=use_weights,
-                         kappa=kappa, fold_group=first, interpret=interpret)
+                         kappa=kappa, fold_group=first, interpret=interpret,
+                         lohi_px=lohi_px, fh_restrict=fh_restrict)
         first = False
         outs.append((raw, slope_g, spaces_g))
     if not assemble:
@@ -308,7 +330,8 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
                     mgm: int, p1: float, p2: float, mode: str, nch: int,
                     trunc_dist: float, use_fh: bool, use_weights: bool,
                     fix_overcount: bool, backend: str = "fused",
-                    want_S: bool = True, const_sw: bool = False):
+                    want_S: bool = True, const_sw: bool = False,
+                    lo_px=None, hi_px=None):
     """One MGM solve from preprocessed images, cost volume fused into
     the recursion.  Semantically identical to solver.mgm_solve on the
     equivalent dense volume (mgm_core.cc:408-613 of gfacciol/mgm), for
@@ -326,6 +349,10 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     per-side constant windows of `sides`, i.e. no TSGM_ITER tightening)
     enables the fused unskew+WTA assembly: the (N, H, W, L) volume is
     never materialised and S comes back as None.
+    lo_px/hi_px: per-pixel (N, H, W) int32 recursion label windows
+    (-m/-M images, mgm.cc:338-353); they replace the constant windows
+    of `sides` in the in-flight costs (and restrict the FH min-conv
+    like the dense path's fh_restrict).
     Returns (S, disp, cost) exactly as solver.mgm_solve.
     """
     H, W, _ = u_p.shape
@@ -343,6 +370,12 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
 
     groups, leftover = split_passes(ndir, mgm)
     kappa = -float(ndir - 1) if fix_overcount else 0.0
+    per_pixel = lo_px is not None
+    # per-pixel FH window restriction mirrors aggregate()'s rule:
+    # mgm=2 unweighted uses the boundary-fixed full-axis min-conv
+    fh_restrict = (use_fh and per_pixel
+                   and not (mgm == 2 and not use_weights))
+    lohi_px = (lo_px, hi_px) if per_pixel else None
 
     if groups and not leftover and not want_S and const_sw:
         # fused unskew+WTA: skip the unskewed volume entirely
@@ -368,7 +401,8 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             groups, lefts, rights, w8, sides=sides, L=L, C=W,
             R=H, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
             tmax=tmax, use_fh=use_fh, use_weights=use_weights,
-            kappa=0.0 if leftover else kappa, interpret=interpret)
+            kappa=0.0 if leftover else kappa, interpret=interpret,
+            lohi_px=lohi_px, fh_restrict=fh_restrict)
 
     if leftover:
         # the cost-volume builder computes its own BT aux channels, so
@@ -376,17 +410,21 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
         raw_l, raw_r = [u_p, v_p][:N], [v_p, u_p][:N]
         ccs = []
         for n, (gmin, lo, hi) in enumerate(sides):
-            lo_a = jnp.full((H, W), lo, jnp.int32)
-            hi_a = jnp.full((H, W), hi, jnp.int32)
+            if per_pixel:
+                lo_a, hi_a = lo_px[n], hi_px[n]
+            else:
+                lo_a = jnp.full((H, W), lo, jnp.int32)
+                hi_a = jnp.full((H, W), hi, jnp.int32)
             ccs.append(build_cost_volume(
                 raw_l[n], raw_r[n], lo_a, hi_a, gmin, distance=mode, L=L,
                 trunc_dist=trunc_dist, backend=agg_backend))
         # same barriers as solver.mgm_solve: keep the builder and the
         # downstream consumers from fusing into the wavefront scan
         cc = jax.lax.optimization_barrier(jnp.stack(ccs))
-        part = aggregate(cc, w8 if use_weights else None, None, None,
+        part = aggregate(cc, w8 if use_weights else None, lo_px, hi_px,
                          p1=p1, p2=p2, ndir=ndir, mgm=mgm, use_fh=use_fh,
-                         use_weights=use_weights, fh_restrict=False,
+                         use_weights=use_weights,
+                         fh_restrict=use_fh and per_pixel,
                          backend=agg_backend, pids=tuple(leftover))
         part = jax.lax.optimization_barrier(part)
         if fix_overcount:
@@ -395,8 +433,11 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
 
     # ---- S assembly + WTA (solver.py / mgm_core.cc:582-609) ---------
     l_idx = jnp.arange(L, dtype=jnp.int32)
-    in_cc = jnp.stack([(l_idx >= lo) & (l_idx <= hi)
-                       for (gmin, lo, hi) in sides])[:, None, None, :]
+    if per_pixel:
+        in_cc = window_mask(lo_px, hi_px, L)       # (N, H, W, L)
+    else:
+        in_cc = jnp.stack([(l_idx >= lo) & (l_idx <= hi)
+                           for (gmin, lo, hi) in sides])[:, None, None, :]
     if fix_overcount:
         # 0 - (NDIR-1)*INFINITY outside the CC window: -inf for ndir>1,
         # NaN (0*inf) for ndir==1, exactly as the dense solver computes

@@ -313,7 +313,7 @@ def _cost_front(u_t, v_win, mode, nch):
 
 def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
             p1, p2, mgm, mode, nch, tmax, use_fh, use_weights, kappa,
-            reverse, accumulate, NB):
+            reverse, accumulate, NB, per_pixel=False, fh_restrict=False):
     """One grid step = G consecutive wavefronts for every pass x side in
     the launch.
 
@@ -335,6 +335,8 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
     u_ref = next(it)
     v_hbm = next(it)
     w_ref = next(it) if use_weights else None
+    lo_ref = next(it) if per_pixel else None
+    hi_ref = next(it) if per_pixel else None
     acc_ref = next(it) if accumulate else None
     out_ref, ring_ref, hist_ref, mins_ref, sem0, sem1 = it
 
@@ -402,12 +404,17 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
         raw = _cost_front(u_t, v_win, mode, nch)
         cc = []
         cols = []
+        wins = []
         for i, (phase, lo, hi, A0, ssgn, fold) in enumerate(planes):
             col = t - A0 + ssgn * slope * row      # image column (L, R)
             e = jnp.minimum(raw[i], tmax)
             q = col + phase + lab                  # right-image column
             e = jnp.where((q >= 0) & (q < C), e, tmax)
-            in_win = (lab >= lo) & (lab <= hi)
+            if per_pixel:
+                in_win = ((lab >= lo_ref[i, u, :][None, :])
+                          & (lab <= hi_ref[i, u, :][None, :]))
+            else:
+                in_win = (lab >= lo) & (lab <= hi)
             # all-invalid window -> 0 (mgm_costvolume.h:410-421)
             fin = in_win & (e < INF)
             anyfin = jnp.max(fin.astype(jnp.float32), axis=0, keepdims=True)
@@ -416,6 +423,14 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
             ok = in_win & (col >= 0) & (col < C) & (row < R_eff)
             cc.append(jnp.where(ok, e, INF))
             cols.append(col)
+            wins.append(in_win)
+
+        if fh_restrict:
+            # per-target-pixel window restriction of the FH min-conv
+            # input (update_costW_trunclinear, mgm_core.cc:229-281):
+            # the mask is the TARGET's window, identical across a
+            # recursion's messages, so it batches over Ml like the rest
+            mask_all = jnp.stack([wins[pi] for pi, _, _ in mspecs])
 
         # ---- messages per (lag, roll) combo, batched over Ml --------
         msgs = []
@@ -431,7 +446,8 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
             else:
                 p1w, p2w = p1, p2
             if use_fh:
-                msgs.append(_fh_msg(f, mk, p1w, p2w))
+                fm = jnp.where(mask_all, f, INF) if fh_restrict else f
+                msgs.append(_fh_msg(fm, mk, p1w, p2w))
             else:
                 msgs.append(_sgm_msg(f, mk, p1w, p2w))
 
@@ -479,7 +495,8 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
 
 def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
                     L, G, slope, mgm, mode, nch, tmax, p1, p2, use_fh,
-                    use_weights, kappa, reverse, interpret=False):
+                    use_weights, kappa, reverse, lohi=None,
+                    fh_restrict=False, interpret=False):
     """Run one scan direction of the fused recursion.
 
     U: (Mp, Cch, Tp, Rp) skewed left images (Tp a multiple of G), one
@@ -488,6 +505,10 @@ def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
     W_sk: (Ml, n_combo, Tp, Rp) per-combo weights or None.
     acc: (Mp, Tp, L, Rp) forward-launch output to accumulate onto
       (aliased, donated), or None.
+    lohi: (LO, HI) skewed (Mp, Tp, Rp) int32 per-pixel label windows, or
+      None for the constant per-plane windows of `planes`.
+    fh_restrict: restrict the FH min-conv input to the target pixel's
+      window (needs lohi).
     Returns (Mp, Tp, L, Rp) accumulated volumes.
     """
     Mp, Cch, Tp, Rp = U.shape
@@ -503,13 +524,16 @@ def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
         slope=slope, p1=float(p1), p2=float(p2), mgm=mgm, mode=mode,
         nch=nch, tmax=float(tmax), use_fh=use_fh, use_weights=use_weights,
         kappa=float(kappa), reverse=reverse, accumulate=acc is not None,
-        NB=NB)
+        NB=NB, per_pixel=lohi is not None,
+        fh_restrict=fh_restrict and lohi is not None)
 
     Ml = len(mspecs)
     blk = ((lambda s: (0, NB - 1 - s, 0, 0)) if reverse
            else (lambda s: (0, s, 0, 0)))
     blk3 = ((lambda s: (0, 0, NB - 1 - s, 0)) if reverse
             else (lambda s: (0, 0, s, 0)))
+    blk2 = ((lambda s: (0, NB - 1 - s, 0)) if reverse
+            else (lambda s: (0, s, 0)))
     args = [U, V]
     in_specs = [
         pl.BlockSpec((Mp, Cch, G, Rp), blk3, memory_space=pltpu.VMEM),
@@ -520,6 +544,11 @@ def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
         args.append(W_sk)
         in_specs.append(pl.BlockSpec((Ml, W_sk.shape[1], G, Rp), blk3,
                                      memory_space=pltpu.VMEM))
+    if lohi is not None:
+        for a in lohi:
+            args.append(a)
+            in_specs.append(pl.BlockSpec((Mp, G, Rp), blk2,
+                                         memory_space=pltpu.VMEM))
     if acc is not None:
         aliases = {len(args): 0}
         args.append(acc)

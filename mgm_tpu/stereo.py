@@ -97,10 +97,10 @@ def _prep_fused(u, v, *, cfg: MGMConfig, n_sides: int):
 
 
 def _fused_backend(cfg: MGMConfig, per_pixel: bool):
-    """Fused cost+wavefront path eligibility: constant label windows and
-    a pointwise cost family; NCC needs per-label box filters and stays
-    on the volume path."""
-    if per_pixel or cfg.distance == "ncc":
+    """Fused cost+wavefront path eligibility: any pointwise cost family
+    (per-pixel -m/-M label windows ride along as skewed planes); NCC
+    needs per-label box filters and stays on the volume path."""
+    if cfg.distance == "ncc":
         return None
     mode = os.environ.get("MGM_TPU_FUSED", "1")
     if mode == "0":
@@ -305,8 +305,14 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     if fused:
         u_p, v_p, w8, u_j, v_j = _prep_fused(
             u_dev, v_dev, cfg=cfg, n_sides=n_sides)
-        sides = tuple((int(gmin[n]), int(los[n]), int(his[n]))
-                      for n in range(n_sides))
+        if per_pixel:
+            # constant parts of `sides` are placeholders; the real
+            # windows travel as the lo_idx/hi_idx arrays
+            sides = tuple((int(gmin[n]), 0, int(L) - 1)
+                          for n in range(n_sides))
+        else:
+            sides = tuple((int(gmin[n]), int(los[n]), int(his[n]))
+                          for n in range(n_sides))
         if cfg.refinement != "none" or cfg.iterations > 1 or cfg.debug:
             _win()
     else:
@@ -332,7 +338,9 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 use_weights=use_weights,
                 fix_overcount=cfg.fix_overcount, backend=fused,
                 want_S=(cfg.refinement != "none"),
-                const_sw=(it == 0))
+                const_sw=(it == 0 and not per_pixel),
+                lo_px=lo_idx if per_pixel else None,
+                hi_px=hi_idx if per_pixel else None)
         else:
             S, disp, cost = mgm_solve(
                 cc, w8 if use_weights else None, lo_idx, hi_idx, s_lo, s_hi,

@@ -53,10 +53,14 @@ FULL_CASES = [
     ("full_mgm4_leftover", "fast_ad", {"mgm": 4}),
     ("full_census_fh_o8", "census_tl", {}),
     ("full_mgm3_spaces", "fast_ad", {"ndir": 8, "mgm": 3}),
+    ("full_per_pixel", "fast_ad", {"per_pixel": True}),
+    ("full_per_pixel_fh", "census_tl", {"per_pixel": True}),
 ]
 
 
 def run_case(name, preset, over, full=False):
+    over = dict(over)
+    per_pixel = over.pop("per_pixel", False)
     u = read_image(f"{DATA}/fountain23-imL.png")
     v = read_image(f"{DATA}/fountain23-imR.png")
     if not full:
@@ -64,21 +68,33 @@ def run_case(name, preset, over, full=False):
         cfg = get_preset(preset, dmin=-40, dmax=26, test_lr=True, **over)
     else:
         cfg = get_preset(preset, dmin=-120, dmax=30, test_lr=True, **over)
-    f = compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+    kw = {}
+    if per_pixel:
+        rng = np.random.default_rng(0)
+        H, W, _ = u.shape
+        dmin_img = (cfg.dmin + 40 * rng.random((H, W))).astype(np.float32)
+        kw = dict(dmin_img=dmin_img,
+                  dmax_img=(dmin_img + 60).astype(np.float32))
+    f = compute_disparity(u, v, cfg, outputs=("disp", "cost"), **kw)
     os.environ["MGM_TPU_FUSED"] = "0"
     try:
-        x = compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+        x = compute_disparity(u, v, cfg, outputs=("disp", "cost"), **kw)
     finally:
         del os.environ["MGM_TPU_FUSED"]
     fa, fb = np.isfinite(x["disp"]), np.isfinite(f["disp"])
     mask = (fa == fb).mean()
     both = fa & fb
-    eq = (x["disp"][both] == f["disp"][both]).mean() if both.any() else 1.0
-    cerr = (np.abs(x["cost"][both] - f["cost"][both]).max()
-            if both.any() else 0.0)
-    ok = mask >= 0.9995 and eq >= 0.999 and cerr <= 1e-2
+    # near-exact, not bitwise: fused planes and dense groups sum the
+    # per-pass volumes in different orders (float epsilon on S, which
+    # can shift a near-tie WTA/vfit on isolated pixels)
+    dd = np.abs(x["disp"][both] - f["disp"][both]) if both.any() else \
+        np.zeros(1)
+    eq = (dd <= 0.05).mean()
+    cerr = (np.abs(x["cost"][both] - f["cost"][both])
+            / (1.0 + np.abs(x["cost"][both]))).max() if both.any() else 0.0
+    ok = mask >= 0.9995 and eq >= 0.998 and cerr <= 1e-4
     print(f"[{'ok' if ok else 'FAIL'}] {name}: mask={mask:.5f} "
-          f"eq={eq:.5f} cost_maxerr={cerr:.2e}", flush=True)
+          f"eq={eq:.5f} cost_relerr={cerr:.2e}", flush=True)
     return ok
 
 

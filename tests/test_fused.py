@@ -227,6 +227,53 @@ def test_fused_pipeline_deferred_windows_uint8(rng, monkeypatch):
                                        err_msg=f"mgm{mgm} {k}")
 
 
+def test_fused_per_pixel_windows(rng, monkeypatch):
+    """-m/-M per-pixel disparity windows on the fused path == dense
+    path: SGM, census+FH (exercises the in-kernel fh_restrict), and the
+    mgm=4 leftover mix."""
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import compute_disparity
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[200:240,
+                                                              300:364]
+    v = read_image("/root/reference/data/fountain23-imR.png")[200:240,
+                                                              300:364]
+    H, W, _ = u.shape
+    dmin_img = (-20 + 6 * rng.random((H, W))).astype(np.float32)
+    dmax_img = (dmin_img + 4 + 10 * rng.random((H, W))).astype(np.float32)
+    dmin_img[5, 5] = np.nan  # NaN windows -> global range (mgm.cc:341)
+    cases = [
+        MGMConfig(dmin=-20, dmax=6, ndir=4, mgm=2, distance="ad",
+                  test_lr=True),
+        MGMConfig(dmin=-20, dmax=6, ndir=8, mgm=3, distance="census",
+                  prefilter="census", use_trunc_linear=True, p1=2,
+                  p2=20000, refinement="vfit", test_lr=True),
+        MGMConfig(dmin=-20, dmax=6, ndir=4, mgm=4, distance="ad",
+                  test_lr=True),
+    ]
+    for cfg in cases:
+        monkeypatch.setenv("MGM_TPU_FUSED", "0")
+        a = compute_disparity(u, v, cfg, dmin_img=dmin_img,
+                              dmax_img=dmax_img)
+        monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+        b = compute_disparity(u, v, cfg, dmin_img=dmin_img,
+                              dmax_img=dmax_img)
+        for k in a:
+            x, y = np.asarray(a[k]), np.asarray(b[k])
+            fx, fy = np.isfinite(x), np.isfinite(y)
+            np.testing.assert_array_equal(fx, fy,
+                                          err_msg=f"mgm{cfg.mgm} {k}")
+            # fused planes and dense groups sum the per-pass volumes in
+            # a different order; the float-epsilon S difference can
+            # shift a near-tie vfit by ~0.01 px on isolated pixels
+            d = np.abs(y[fx] - x[fx])
+            tol = 2e-3 + 1e-5 * np.abs(x[fx])
+            frac = (d > tol).mean()
+            assert frac <= 0.005 and (d.max() if d.size else 0) <= 0.26, \
+                f"mgm{cfg.mgm} {k}: frac={frac} max={d.max()}"
+
+
 def test_fused_full_pipeline_crop(rng, monkeypatch):
     """compute_disparity end-to-end: fused (interpret) == default path
     on a real image crop, cfg2-style config."""
