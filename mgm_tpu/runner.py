@@ -35,14 +35,17 @@ def _tile_starts(size: int, tile: int) -> list[int]:
 def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                     tile: int = 512, margin: int = 64,
                     checkpoint_dir: str | None = None,
-                    mesh=None, verbose: bool = False) -> dict:
+                    mesh=None, verbose: bool = False,
+                    dmin_img: np.ndarray | None = None,
+                    dmax_img: np.ndarray | None = None) -> dict:
     """Solve a (H, W, C) scene pair tile-by-tile.
 
     Returns {'disp', 'cost'} scene-sized float32 arrays (left side).
     `tile`: core tile size (pixels, both axes).  `margin`: context
     pixels added on every tile side before solving (cropped off after).
     `checkpoint_dir`: persist each finished tile and skip tiles already
-    present (resume after preemption).
+    present (resume after preemption).  `dmin_img`/`dmax_img`: scene
+    per-pixel disparity windows (-m/-M), cropped per tile.
     """
     H, W, _ = u.shape
     assert v.shape == u.shape, "rectified pairs share geometry"
@@ -77,9 +80,13 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
             cy1 = cy0 + ctx_h
             cx0 = min(max(0, x0 - margin - pad_l), W - ctx_w)
             cx1 = cx0 + ctx_w
+            kw = {}
+            if dmin_img is not None:
+                kw = dict(dmin_img=dmin_img[cy0:cy1, cx0:cx1],
+                          dmax_img=dmax_img[cy0:cy1, cx0:cx1])
             res = compute_disparity(
                 u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
-                outputs=("disp", "cost"), mesh=mesh)
+                outputs=("disp", "cost"), mesh=mesh, **kw)
             oy, ox = y0 - cy0, x0 - cx0
             td = res["disp"][oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
             tc = res["cost"][oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
@@ -114,13 +121,22 @@ def main(argv=None):
     ap.add_argument("--margin", type=int, default=64)
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint dir (enables resume)")
+    ap.add_argument("-m", "--dmin-img", default=None,
+                    help="per-pixel minimum disparity image")
+    ap.add_argument("-M", "--dmax-img", default=None,
+                    help="per-pixel maximum disparity image")
     args = ap.parse_args(argv)
 
     from .models.presets import get_preset
     cfg = get_preset(args.preset, dmin=args.dmin, dmax=args.dmax)
     u, v = read_image(args.left), read_image(args.right)
+    dmin_img = (read_image(args.dmin_img)[..., 0]
+                if args.dmin_img else None)
+    dmax_img = (read_image(args.dmax_img)[..., 0]
+                if args.dmax_img else None)
     res = tiled_disparity(u, v, cfg, tile=args.tile, margin=args.margin,
-                          checkpoint_dir=args.ckpt, verbose=True)
+                          checkpoint_dir=args.ckpt, verbose=True,
+                          dmin_img=dmin_img, dmax_img=dmax_img)
     write_image(args.out_disp, res["disp"])
     if args.out_cost:
         write_image(args.out_cost, res["cost"])

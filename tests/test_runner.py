@@ -83,3 +83,20 @@ def test_tiled_cli(rng, tmp_path):
 def runner_cfg():
     from mgm_tpu.models.presets import get_preset
     return get_preset("fast_ad", dmin=-6, dmax=2)
+
+
+def test_tiled_per_pixel_windows(rng):
+    """-m/-M scene windows crop per tile; margin >= scene reproduces
+    the single per-pixel solve exactly."""
+    u, v = _pair(rng)
+    H, W, _ = u.shape
+    dmin_img = np.full((H, W), -6, np.float32)
+    dmax_img = np.full((H, W), 2, np.float32)
+    dmin_img[:10] = -4
+    dmax_img[:, :20] = 1
+    ref = compute_disparity(u, v, CFG, dmin_img=dmin_img,
+                            dmax_img=dmax_img, outputs=("disp", "cost"))
+    out = tiled_disparity(u, v, CFG, tile=16, margin=64,
+                          dmin_img=dmin_img, dmax_img=dmax_img)
+    np.testing.assert_array_equal(out["disp"], ref["disp"])
+    np.testing.assert_array_equal(out["cost"], ref["cost"])
