@@ -96,15 +96,32 @@ def _write_pfm(path: str, img: np.ndarray) -> None:
         f.write(np.ascontiguousarray(img[::-1], dtype="<f4").tobytes())
 
 
+def _read_asc(path: str) -> np.ndarray:
+    """iio's ASC format: "w h 1 c" header then w*h*c ascii floats
+    (iio.c read_beheaded_asc)."""
+    with open(path) as f:
+        toks = f.read().split()
+    w, h, _, c = (int(t) for t in toks[:4])
+    data = np.asarray([float(t) for t in toks[4:4 + w * h * c]],
+                      dtype=np.float32)
+    return data.reshape(h, w, c)
+
+
 def read_image(path: str) -> np.ndarray:
     """Read an image as (H, W, C) float32."""
     ext = os.path.splitext(path)[1].lower()
-    if ext != ".npy":
+    if ext not in (".npy", ".asc", ".csv", ".dlm"):
         native = _native_read(path)
         if native is not None:
             return np.asarray(native, np.float32)
     if ext == ".npy":
         img = np.load(path)
+    elif ext == ".asc":
+        img = _read_asc(path)
+    elif ext in (".csv", ".dlm"):
+        # single-plane ascii matrices (iio.c read_beheaded_csv/dlm)
+        img = np.loadtxt(path, delimiter="," if ext == ".csv" else None,
+                         dtype=np.float32)
     elif ext == ".pfm":
         img = _read_pfm(path)
     elif ext in (".tif", ".tiff"):
@@ -142,6 +159,16 @@ def write_image(path: str, img: np.ndarray) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         np.save(path, img)
+        return
+    if ext == ".asc":
+        h, w, c = img.shape
+        with open(path, "w") as f:
+            f.write(f"{w} {h} 1 {c}\n")
+            np.savetxt(f, img.reshape(-1, 1), fmt="%.9g")
+        return
+    if ext in (".csv", ".dlm"):
+        np.savetxt(path, img[:, :, 0],
+                   delimiter="," if ext == ".csv" else " ", fmt="%.9g")
         return
     if ext in (".tif", ".tiff", ".pfm", ".png") and _native_write(path, img):
         return

@@ -100,3 +100,17 @@ def test_native_pnm(tmp_path, rng):
         f.write(img[:, :, 0].tobytes())
     got = mio.read_image(p)
     np.testing.assert_array_equal(got[:, :, 0], img[:, :, 0].astype(np.float32))
+
+
+def test_ascii_formats_roundtrip(tmp_path):
+    """iio's built-in ascii formats: ASC (w h 1 c header) and
+    CSV/DLM single-plane matrices."""
+    img = np.arange(24, dtype=np.float32).reshape(3, 4, 2) * 0.5
+    p = str(tmp_path / "x.asc")
+    mio.write_image(p, img)
+    np.testing.assert_allclose(mio.read_image(p), img, rtol=1e-6)
+    flat = img[:, :, :1]
+    for ext in ("csv", "dlm"):
+        p = str(tmp_path / f"x.{ext}")
+        mio.write_image(p, flat)
+        np.testing.assert_allclose(mio.read_image(p), flat, rtol=1e-6)
