@@ -136,3 +136,26 @@ def test_halo_aggregate_weighted_fh(rng):
                          use_fh=True, use_weights=True)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                atol=1e-3, rtol=1e-6)
+
+
+def test_pipeline_mesh_per_pixel(rng):
+    """Full compute_disparity pipeline, row-sharded, with per-pixel
+    -m/-M windows == the unsharded volume path."""
+    from mgm_tpu.io import read_image
+    from mgm_tpu.models.presets import get_preset
+    from mgm_tpu.stereo import compute_disparity
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[200:232,
+                                                              300:348]
+    v = read_image("/root/reference/data/fountain23-imR.png")[200:232,
+                                                              300:348]
+    H, W, _ = u.shape
+    dmin_img = (-18 + 5 * rng.random((H, W))).astype(np.float32)
+    dmax_img = (dmin_img + 10).astype(np.float32)
+    cfg = get_preset("fast_ad", dmin=-18, dmax=4, test_lr=True)
+    a = compute_disparity(u, v, cfg, dmin_img=dmin_img, dmax_img=dmax_img)
+    b = compute_disparity(u, v, cfg, dmin_img=dmin_img, dmax_img=dmax_img,
+                          mesh=make_mesh(4))
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
