@@ -36,7 +36,15 @@ MATRIX = {
     "cfg2": ("census_tl", {}, "fountain", 2.5),
     "cfg4": ("sobelx_tl", {}, "fountain", 3.0),
     "cfg3": ("satellite", {"test_lr": True}, "satellite", 2.8),
+    # per-pixel -m/-M windows at the cfg1 range (same work volume as
+    # cfg1: the reference evaluates the full window band either way)
+    "cfg1_mM": ("fast_ad", {"per_pixel": True}, "fountain", 5.8),
 }
+
+
+def _u8(a):
+    r = a.astype(np.uint8)
+    return r if np.array_equal(r.astype(np.float32), a) else a
 
 
 def load_pair(which):
@@ -46,7 +54,7 @@ def load_pair(which):
     else:
         u = read_image(f"{DATA}/rectified_ref.tif")
         v = read_image(f"{DATA}/rectified_sec.tif")
-    return u, v
+    return _u8(u), _u8(v)
 
 
 def main():
@@ -60,15 +68,22 @@ def main():
 
     for name in names:
         preset, over, pair, ref_mpds = MATRIX[name]
+        over = dict(over)
+        per_pixel = over.pop("per_pixel", False)
         cfg = get_preset(preset, **(FOUNTAIN | over if pair == "fountain"
                                     else over))
         u, v = load_pair(pair)
         H, W, _ = u.shape
         sides = 2 if cfg.test_lr else 1
         mpd = sides * H * W * (cfg.dmax - cfg.dmin + 1) / 1e6
+        kw = {}
+        if per_pixel:
+            kw = dict(dmin_img=np.full((H, W), cfg.dmin, np.float32),
+                      dmax_img=np.full((H, W), cfg.dmax, np.float32))
 
         def run():
-            return compute_disparity(u, v, cfg, outputs=("disp", "cost"))
+            return compute_disparity(u, v, cfg, outputs=("disp", "cost"),
+                                     **kw)
 
         run()  # compile warmup
         best = None
