@@ -79,5 +79,5 @@ from .stereo import compute_disparity
 from .mrf import solve_mrf
 from .runner import tiled_disparity
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 __all__ = ["MGMConfig", "compute_disparity", "solve_mrf"]
