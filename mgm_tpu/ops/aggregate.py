@@ -393,7 +393,8 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
     # chunk size: VMEM working set plus an HBM cap of ~2 GiB per skewed
     # buffer (tile-padded trailing dims) so big problems schedule
     # chunk by chunk
-    G, m_vmem = pw.pick_block(R, L, heavy=use_fh)
+    rolled = pw.use_rolled(use_fh)
+    G, m_vmem = pw.pick_block(R, L, heavy=use_fh and not rolled)
     if interpret:
         # the interpreter pays per-front graph size, not per-step DMA;
         # G=2 still exercises both the in-block and cross-block paths
@@ -420,7 +421,7 @@ def _run_group_pallas(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh,
             cc_sk, w_sk, lo_sk, hi_sk,
             C=C, G=G, p1=p1, p2=p2, mgm=mgm, dir2off=d2o, slope=slope,
             knight=knight, use_fh=use_fh, use_weights=use_weights,
-            fh_restrict=fh_restrict, interpret=interpret)
+            fh_restrict=fh_restrict, rolled=rolled, interpret=interpret)
         parts.append(pw.unskew_p(lr_sk, C, R, slope, interpret))
     lr = (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
     lr = lr.reshape(B, N, R, C, L)

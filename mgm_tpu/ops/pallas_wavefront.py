@@ -222,9 +222,16 @@ def _front_update(cc_t, hist, t, *, C, slope, p1, p2, mgm, dir2off, offs,
 
 
 def _kernel(*refs, C, G, D, slope, p1, p2, mgm, dir2off, offs, knight,
-            use_fh, use_weights, fh_restrict):
+            use_fh, use_weights, fh_restrict, rolled=False):
     """One grid step = G consecutive wavefronts.  Scratch slot k holds
-    front base-1-k on entry; every access is statically addressed."""
+    front base-1-k on entry.
+
+    rolled=False: the G fronts unroll in Python — every access is
+    statically addressed (fastest, but FH bodies are ~log2(L)x bigger
+    and deep unrolls have OOM-killed the TPU compile helper).
+    rolled=True: one fori_loop iteration per front, history carried as
+    stacked values, front slices dynamically addressed — a ~Gx smaller
+    kernel body that lets FH configs run G=16."""
     it = iter(refs)
     cc_ref = next(it)
     w_ref = next(it) if use_weights else None
@@ -233,9 +240,9 @@ def _kernel(*refs, C, G, D, slope, p1, p2, mgm, dir2off, offs, knight,
     out_ref, prev_ref, mins_ref = it
 
     base = pl.program_id(0) * G
-    hist = [(prev_ref[k], mins_ref[k]) for k in range(D)]
     M, R, _, L = cc_ref.shape
-    for u in range(G):
+
+    def step(u, t, hist):
         win = None
         if fh_restrict:
             lo_t = lo_ref[:, :, u, 0]            # (M, R) int32
@@ -243,20 +250,48 @@ def _kernel(*refs, C, G, D, slope, p1, p2, mgm, dir2off, offs, knight,
             lab = jax.lax.broadcasted_iota(jnp.int32, (M, R, L), 2)
             win = (lab >= lo_t[:, :, None]) & (lab <= hi_t[:, :, None])
         new, mins = _front_update(
-            cc_ref[:, :, u, :], hist, base + u, C=C, slope=slope, p1=p1,
+            cc_ref[:, :, u, :], hist, t, C=C, slope=slope, p1=p1,
             p2=p2, mgm=mgm, dir2off=dir2off, offs=offs, knight=knight,
             use_fh=use_fh, use_weights=use_weights,
             w_t=w_ref[:, :, u, 0] if use_weights else None, win=win)
         out_ref[:, :, u, :] = new
-        hist = [(new, mins)] + hist[:-1]
-    for k in range(D):
-        prev_ref[k] = hist[k][0]
-        mins_ref[k] = hist[k][1]
+        return new, mins
+
+    if not rolled:
+        hist = [(prev_ref[k], mins_ref[k]) for k in range(D)]
+        for u in range(G):
+            new, mins = step(u, base + u, hist)
+            hist = [(new, mins)] + hist[:-1]
+        for k in range(D):
+            prev_ref[k] = hist[k][0]
+            mins_ref[k] = hist[k][1]
+    else:
+        hist_f = jnp.stack([prev_ref[k] for k in range(D)])
+        hist_m = jnp.stack([mins_ref[k] for k in range(D)])
+
+        def body(u, carry):
+            hist_f, hist_m = carry
+            hist = [(hist_f[k], hist_m[k]) for k in range(D)]
+            new, mins = step(u, base + u, hist)
+            return (jnp.concatenate([new[None], hist_f[:-1]]),
+                    jnp.concatenate([mins[None], hist_m[:-1]]))
+
+        hist_f, hist_m = jax.lax.fori_loop(0, G, body, (hist_f, hist_m))
+        for k in range(D):
+            prev_ref[k] = hist_f[k]
+            mins_ref[k] = hist_m[k]
+
+
+def use_rolled(use_fh: bool) -> bool:
+    """Opt-in rolled kernel body (MGM_TPU_ROLLED=1): worthwhile only
+    for FH configs, whose unrolled bodies are what OOM the compile
+    helper above G=8."""
+    return use_fh and os.environ.get("MGM_TPU_ROLLED", "0") == "1"
 
 
 def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
                    slope=2, knight=False, use_fh=False, use_weights=False,
-                   fh_restrict=False, interpret=False):
+                   fh_restrict=False, rolled=False, interpret=False):
     """Run the wavefront recursion over a skewed volume.
 
     cc_sk: (M, R, T, L) skewed canonical costs, T a multiple of G.
@@ -272,7 +307,8 @@ def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
     kernel = functools.partial(
         _kernel, C=C, G=G, D=D, slope=slope, p1=float(p1), p2=float(p2),
         mgm=mgm, dir2off=tuple(dir2off), offs=offs, knight=knight,
-        use_fh=use_fh, use_weights=use_weights, fh_restrict=fh_restrict)
+        use_fh=use_fh, use_weights=use_weights, fh_restrict=fh_restrict,
+        rolled=rolled)
     args = [cc_sk]
     in_specs = [pl.BlockSpec((M, R, G, L), lambda t: (0, 0, t, 0),
                              memory_space=pltpu.VMEM)]

@@ -115,3 +115,14 @@ def test_knight_pallas_weighted(rng):
     prob = make_problem(rng, weighted=True)
     a, b = run_both(prob, p1=8.0, p2=32.0, ndir=16, mgm=4, use_weights=True)
     check_close(a, b)
+
+
+@pytest.mark.parametrize("fh_restrict", [False, True])
+def test_rolled_fh_matches(rng, monkeypatch, fh_restrict):
+    """MGM_TPU_ROLLED=1 (fori_loop kernel body, for G=16 FH configs)
+    == the unrolled body == XLA."""
+    monkeypatch.setenv("MGM_TPU_ROLLED", "1")
+    prob = make_problem(rng, per_pixel=fh_restrict, weighted=True)
+    a, b = run_both(prob, p1=5.0, p2=19.0, ndir=8, mgm=3, use_fh=True,
+                    use_weights=True, fh_restrict=fh_restrict)
+    check_close(a, b)
