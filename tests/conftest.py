@@ -26,3 +26,13 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_executables():
+    """Drop live compiled executables between test modules: the suite
+    compiles hundreds of programs and the accumulated JIT state has
+    segfaulted the XLA CPU compiler late in full runs; the persistent
+    disk cache keeps cross-module recompiles cheap."""
+    yield
+    jax.clear_caches()
