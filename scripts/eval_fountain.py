@@ -23,11 +23,16 @@ DATA = "/root/reference/data"
 
 _R = dict(dmin=-120, dmax=30, test_lr=True)  # fountain23 range, LR on
 
+_T = dict(dmin=-16, dmax=0, test_lr=True)  # tsukuba (runme.m dmax=16)
+
 CFGS = {
     "cfg1": get_preset("fast_ad", **_R),
     "cfg1_tsgm4": get_preset("fast_ad", mgm=4, **_R),
     "cfg2": get_preset("census_tl", **_R),
     "cfg4": get_preset("sobelx_tl", **_R),
+    # the MATLAB demo scene (runme.m:5-18); GT = 16 x |disparity|
+    "tsukuba": get_preset("fast_ad", **_T),
+    "tsukuba_census": get_preset("census_tl", **_T),
 }
 
 
@@ -46,9 +51,14 @@ def evaluate(disp: np.ndarray, gt: np.ndarray) -> dict:
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "cfg1"
     cfg = CFGS[name]
-    u = read_image(f"{DATA}/fountain23-imL.png")
-    v = read_image(f"{DATA}/fountain23-imR.png")
-    gt = read_image(f"{DATA}/fountain23-truedispL.png")[..., 0]
+    if name.startswith("tsukuba"):
+        u = read_image(f"{DATA}/imL.png")
+        v = read_image(f"{DATA}/imR.png")
+        gt = read_image(f"{DATA}/tsukuba-truedispL.png")[..., 0] / 16.0
+    else:
+        u = read_image(f"{DATA}/fountain23-imL.png")
+        v = read_image(f"{DATA}/fountain23-imR.png")
+        gt = read_image(f"{DATA}/fountain23-truedispL.png")[..., 0]
     res = compute_disparity(u, v, cfg, outputs=("disp",))
     out = {"config": name, **evaluate(res["disp"], gt)}
     print(json.dumps(out))
