@@ -377,7 +377,11 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
                    and not (mgm == 2 and not use_weights))
     lohi_px = (lo_px, hi_px) if per_pixel else None
 
-    if groups and not leftover and not want_S and const_sw:
+    force_dense_fold = fix_overcount and (
+        os.environ.get("MGM_TPU_FOLD", "auto") == "dense")
+
+    if (groups and not leftover and not want_S and const_sw
+            and not force_dense_fold):
         # fused unskew+WTA: skip the unskewed volume entirely
         group_outs = run_fused(
             groups, lefts, rights, w8, sides=sides, L=L, C=W,
@@ -395,14 +399,32 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     # gave ~10% wrong disparities, cost errors ~5e2, while kappa=0 is
     # bit-exact — the extra in-kernel multiply-add is the trigger, so
     # it is only used when no dense volume is around to fold on).
+    # MGM_TPU_FOLD=dense (trace-time) forces the dense fold even for
+    # groups-only configs, materialising CC once just for the fold —
+    # the escape hatch if another fused geometry trips the same bug.
+    dense_fold = bool(leftover) or force_dense_fold
     lsum = None
     if groups:
         lsum = run_fused(
             groups, lefts, rights, w8, sides=sides, L=L, C=W,
             R=H, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
             tmax=tmax, use_fh=use_fh, use_weights=use_weights,
-            kappa=0.0 if leftover else kappa, interpret=interpret,
+            kappa=0.0 if dense_fold else kappa, interpret=interpret,
             lohi_px=lohi_px, fh_restrict=fh_restrict)
+
+    if dense_fold and not leftover and fix_overcount:
+        raw_l, raw_r = [u_p, v_p][:N], [v_p, u_p][:N]
+        ccs = []
+        for n, (gmin, lo, hi) in enumerate(sides):
+            if per_pixel:
+                lo_a, hi_a = lo_px[n], hi_px[n]
+            else:
+                lo_a = jnp.full((H, W), lo, jnp.int32)
+                hi_a = jnp.full((H, W), hi, jnp.int32)
+            ccs.append(build_cost_volume(
+                raw_l[n], raw_r[n], lo_a, hi_a, gmin, distance=mode, L=L,
+                trunc_dist=trunc_dist, backend=agg_backend))
+        lsum = lsum + kappa * jax.lax.optimization_barrier(jnp.stack(ccs))
 
     if leftover:
         # the cost-volume builder computes its own BT aux channels, so

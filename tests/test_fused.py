@@ -298,3 +298,35 @@ def test_fused_full_pipeline_crop(rng, monkeypatch):
         fx, fy = np.isfinite(x), np.isfinite(y)
         np.testing.assert_array_equal(fx, fy, err_msg=k)
         np.testing.assert_allclose(y[fx], x[fx], atol=2e-3, err_msg=k)
+
+
+def test_fused_dense_fold_escape_hatch(rng, monkeypatch):
+    """MGM_TPU_FOLD=dense (the miscompile escape hatch) folds the
+    overcount term on a materialised CC for groups-only configs and
+    must match the default path."""
+    import jax
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import compute_disparity
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[200:240,
+                                                              300:364]
+    v = read_image("/root/reference/data/fountain23-imR.png")[200:240,
+                                                              300:364]
+    cfg = MGMConfig(dmin=-20, dmax=6, ndir=8, mgm=3, distance="ad",
+                    test_lr=True)
+    monkeypatch.setenv("MGM_TPU_FUSED", "0")
+    a = compute_disparity(u, v, cfg)
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    monkeypatch.setenv("MGM_TPU_FOLD", "dense")
+    jax.clear_caches()  # the fold mode is read at trace time
+    try:
+        b = compute_disparity(u, v, cfg)
+    finally:
+        jax.clear_caches()
+    for k in a:
+        x, y = np.asarray(a[k]), np.asarray(b[k])
+        fx, fy = np.isfinite(x), np.isfinite(y)
+        np.testing.assert_array_equal(fx, fy, err_msg=k)
+        np.testing.assert_allclose(y[fx], x[fx], atol=2e-3, rtol=1e-5,
+                                   err_msg=k)
