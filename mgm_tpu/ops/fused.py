@@ -403,6 +403,26 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     # groups-only configs, materialising CC once just for the fold —
     # the escape hatch if another fused geometry trips the same bug.
     dense_fold = bool(leftover) or force_dense_fold
+
+    def dense_cc():
+        """Materialised per-side cost volumes, barriered like
+        solver.mgm_solve (keeps the builder and the consumers from
+        fusing into the wavefront scan).  The builder computes its own
+        BT aux channels, so it gets the raw preprocessed pair, not the
+        concatenated one."""
+        raw_l, raw_r = [u_p, v_p][:N], [v_p, u_p][:N]
+        ccs = []
+        for n, (gmin, lo, hi) in enumerate(sides):
+            if per_pixel:
+                lo_a, hi_a = lo_px[n], hi_px[n]
+            else:
+                lo_a = jnp.full((H, W), lo, jnp.int32)
+                hi_a = jnp.full((H, W), hi, jnp.int32)
+            ccs.append(build_cost_volume(
+                raw_l[n], raw_r[n], lo_a, hi_a, gmin, distance=mode, L=L,
+                trunc_dist=trunc_dist, backend=agg_backend))
+        return jax.lax.optimization_barrier(jnp.stack(ccs))
+
     lsum = None
     if groups:
         lsum = run_fused(
@@ -413,36 +433,10 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             lohi_px=lohi_px, fh_restrict=fh_restrict)
 
     if dense_fold and not leftover and fix_overcount:
-        raw_l, raw_r = [u_p, v_p][:N], [v_p, u_p][:N]
-        ccs = []
-        for n, (gmin, lo, hi) in enumerate(sides):
-            if per_pixel:
-                lo_a, hi_a = lo_px[n], hi_px[n]
-            else:
-                lo_a = jnp.full((H, W), lo, jnp.int32)
-                hi_a = jnp.full((H, W), hi, jnp.int32)
-            ccs.append(build_cost_volume(
-                raw_l[n], raw_r[n], lo_a, hi_a, gmin, distance=mode, L=L,
-                trunc_dist=trunc_dist, backend=agg_backend))
-        lsum = lsum + kappa * jax.lax.optimization_barrier(jnp.stack(ccs))
+        lsum = lsum + kappa * dense_cc()
 
     if leftover:
-        # the cost-volume builder computes its own BT aux channels, so
-        # it gets the raw preprocessed pair, not the concatenated one
-        raw_l, raw_r = [u_p, v_p][:N], [v_p, u_p][:N]
-        ccs = []
-        for n, (gmin, lo, hi) in enumerate(sides):
-            if per_pixel:
-                lo_a, hi_a = lo_px[n], hi_px[n]
-            else:
-                lo_a = jnp.full((H, W), lo, jnp.int32)
-                hi_a = jnp.full((H, W), hi, jnp.int32)
-            ccs.append(build_cost_volume(
-                raw_l[n], raw_r[n], lo_a, hi_a, gmin, distance=mode, L=L,
-                trunc_dist=trunc_dist, backend=agg_backend))
-        # same barriers as solver.mgm_solve: keep the builder and the
-        # downstream consumers from fusing into the wavefront scan
-        cc = jax.lax.optimization_barrier(jnp.stack(ccs))
+        cc = dense_cc()
         part = aggregate(cc, w8 if use_weights else None, lo_px, hi_px,
                          p1=p1, p2=p2, ndir=ndir, mgm=mgm, use_fh=use_fh,
                          use_weights=use_weights,
