@@ -53,15 +53,27 @@ def _enable_cache_on_experimental_platforms():
     2-40 min queueing variance, which is exactly where caching matters
     most, so opt such backends in when they support serialization."""
     try:
+        import jax
+
         from jax._src import compilation_cache as _cc
 
+        # feature-detect every internal the shim touches up front: if
+        # any moved in a newer jax, leave the stock behaviour alone
+        # (worst case: no persistent cache on experimental platforms).
+        # Verified against the pinned jax in this image (0.8.x); the
+        # version guard cuts the shim off before internals can drift far.
         _orig = _cc.is_cache_used
+        _enabled = _cc._is_cache_enabled
+        _mutex = _cc._cache_initialized_mutex
+        assert hasattr(_mutex, "__enter__")
+        assert hasattr(_cc, "_cache_checked") and hasattr(_cc, "_cache_used")
+        assert tuple(int(x) for x in jax.__version__.split(".")[:2]) < (0, 10)
 
         def _is_cache_used(backend):
-            if (_cc._is_cache_enabled()
+            if (_enabled()
                     and getattr(backend, "supports_executable_serialization",
                                 True)):
-                with _cc._cache_initialized_mutex:
+                with _mutex:
                     _cc._cache_checked = True
                     _cc._cache_used = True
                 return True

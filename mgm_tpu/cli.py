@@ -162,6 +162,15 @@ def main(argv=None, mesh=None) -> int:
     res = compute_disparity(u, v, cfg, dmin_img=dmin_img, dmax_img=dmax_img,
                             mesh=mesh)
 
+    if mesh is not None:
+        import jax
+
+        if jax.process_index() != 0:
+            # multi-controller: every process holds the gathered outputs,
+            # but on a shared filesystem N processes would race on the
+            # same files — process 0's writes are the canonical ones
+            return 0
+
     if opts["l"]:
         write_image(opts["l"], res["disp_nolr"])
     write_image(f_out, res["disp"])

@@ -206,12 +206,34 @@ def _pass_groups(ndir: int, mgm: int, homogeneous: bool = False,
     return list(groups.values())
 
 
+def _pad_geometry(spec: PassSpec, hpad: int, R: int, C: int):
+    """Where `hpad` fake rows appended at the image bottom land in this
+    pass's canonical space, as shifted border-mask bounds.
+
+    Pads at the canonical BOTTOM are never read (all canonical deps
+    point to the same row or the row above), so only flip_y passes need
+    a shift: row-major passes get them at the canonical top (row0),
+    col-major passes at the canonical left (col0) — flip_y=False
+    col-major passes get them at the canonical right (C1 shrinks).
+    Returns (row0, col0, C1): the first real canonical row, first real
+    canonical column, and real column count.
+    """
+    if not hpad:
+        return 0, 0, C
+    if spec.row_major:
+        return (hpad if spec.flip_y else 0), 0, C
+    return 0, (hpad if spec.flip_y else 0), C - hpad
+
+
 def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
-               fh_restrict, div_each):
+               fh_restrict, div_each, hpad=0):
     """One batched wavefront scan over the passes `pids`.
 
     cc: (N, H, W, L); returns sum over the group's passes of the
     per-pass aggregated volumes Lr, shape (N, H, W, L).
+    hpad: trailing image rows that are mesh-padding fakes; the border
+    masks shift so real border pixels keep cc and never read pad cells
+    (mgm_core.cc:538-541 semantics on the real extent).
     """
     specs = [PASS_TABLE[p] for p in pids]
     B = len(specs)
@@ -219,6 +241,11 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
     rm = specs[0].row_major
     R, C = (H, W) if rm else (W, H)
     T = C + 2 * R - 2
+    geo = [_pad_geometry(s, hpad, R, C) for s in specs]
+    if hpad:
+        row0v = jnp.repeat(jnp.asarray([g[0] for g in geo], jnp.int32), N)
+        col0v = jnp.repeat(jnp.asarray([g[1] for g in geo], jnp.int32), N)
+        c1v = jnp.repeat(jnp.asarray([g[2] for g in geo], jnp.int32), N)
 
     knight = specs[0].knight
     mixed = len({s.diag for s in specs}) > 1
@@ -328,11 +355,23 @@ def _run_group(pids, cc, w8, lo, hi, *, p1, p2, mgm, use_fh, use_weights,
                 e = e / jnp.float32(mgm)
 
         ii = t - 2 * jj
-        if knight:
-            interior = (jj >= 1) & (ii >= 2) & (ii <= C - 1)
+        if hpad:
+            jb, ib = jj[None, :], ii[None, :]
+            if knight:
+                interior = ((jb >= row0v[:, None] + 1)
+                            & (ib >= col0v[:, None] + 2)
+                            & (ib <= col0v[:, None] + c1v[:, None] - 1))
+            else:
+                interior = ((jb >= row0v[:, None] + 1)
+                            & (ib >= col0v[:, None] + 1)
+                            & (ib <= col0v[:, None] + c1v[:, None] - 2))
+            new = jnp.where(interior[:, :, None], cc_t + e, cc_t)
         else:
-            interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
-        new = jnp.where(interior[None, :, None], cc_t + e, cc_t)
+            if knight:
+                interior = (jj >= 1) & (ii >= 2) & (ii <= C - 1)
+            else:
+                interior = (jj >= 1) & (ii >= 1) & (ii <= C - 2)
+            new = jnp.where(interior[None, :, None], cc_t + e, cc_t)
         lr = jax.lax.dynamic_update_slice_in_dim(lr, new[:, :, None], t, axis=2)
         mins = jax.lax.dynamic_update_slice_in_dim(
             mins, jnp.min(new, axis=-1)[:, :, None], t, axis=2)
@@ -438,11 +477,12 @@ def _use_pallas() -> bool:
 
 @partial(jax.jit, static_argnames=("p1", "p2", "ndir", "mgm", "use_fh",
                                    "use_weights", "fh_restrict", "backend",
-                                   "pids"))
+                                   "pids", "hpad"))
 def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
               ndir: int, mgm: int, use_fh: bool = False,
               use_weights: bool = False, fh_restrict: bool = False,
-              backend: str = "auto", pids: tuple | None = None):
+              backend: str = "auto", pids: tuple | None = None,
+              hpad: int = 0):
     """Sum over the first `ndir` directional passes of the aggregated
     volumes Lr (before the S-window clip / overcount fix, which are
     applied by the solver).
@@ -454,9 +494,13 @@ def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
         (truncated-linear potential with per-pixel windows).
     backend: "pallas" (TPU kernel), "xla" (lax.scan), "interpret"
         (Pallas interpreter, for CPU tests), or "auto".
+    hpad: trailing fake image rows appended so a device mesh divides H
+        (xla backend only); real border pixels behave exactly as at the
+        true image edge and never read pad cells.
     """
     if backend == "auto":
         backend = "pallas" if _use_pallas() else "xla"
+    assert hpad == 0 or backend == "xla", "hpad needs the xla backend"
     # update_cost2 divides each of the 2 messages by 2 before summing
     # (mgm_core.cc:83-84); all other paths sum then divide.
     div_each = (mgm == 2) and (not use_weights) and (not use_fh)
@@ -470,7 +514,8 @@ def aggregate(cc, w8=None, lo=None, hi=None, *, p1: float, p2: float,
         if backend == "xla":
             part = _run_group(gp, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm,
                               use_fh=use_fh, use_weights=use_weights,
-                              fh_restrict=fh_restrict, div_each=div_each)
+                              fh_restrict=fh_restrict, div_each=div_each,
+                              hpad=hpad)
         else:
             part = _run_group_pallas(
                 gp, cc, w8, lo, hi, p1=p1, p2=p2, mgm=mgm, use_fh=use_fh,

@@ -24,10 +24,11 @@ from .ops.common import INF
 
 @partial(jax.jit, static_argnames=("p1", "p2", "ndir", "mgm", "use_fh",
                                    "use_weights", "per_pixel",
-                                   "fix_overcount", "backend"))
+                                   "fix_overcount", "backend", "hpad"))
 def mgm_solve(cc, w8, lo, hi, s_lo, s_hi, gmin, *, p1: float, p2: float,
               ndir: int, mgm: int, use_fh: bool, use_weights: bool,
-              per_pixel: bool, fix_overcount: bool, backend: str = "auto"):
+              per_pixel: bool, fix_overcount: bool, backend: str = "auto",
+              hpad: int = 0):
     """Returns (S, disp, cost).
 
     cc: (N, H, W, L) dense cost volume (+inf outside [lo, hi] windows)
@@ -45,7 +46,8 @@ def mgm_solve(cc, w8, lo, hi, s_lo, s_hi, gmin, *, p1: float, p2: float,
     cc = jax.lax.optimization_barrier(cc)
     lsum = aggregate(cc, w8, lo, hi, p1=p1, p2=p2, ndir=ndir, mgm=mgm,
                      use_fh=use_fh, use_weights=use_weights,
-                     fh_restrict=use_fh and per_pixel, backend=backend)
+                     fh_restrict=use_fh and per_pixel, backend=backend,
+                     hpad=hpad)
     lsum = jax.lax.optimization_barrier(lsum)
 
     in_cc = window_mask(lo, hi, L)

@@ -82,10 +82,9 @@ def _u8_lossless(a: np.ndarray) -> np.ndarray:
     return a
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_sides"))
-def _prep_fused(u, v, *, cfg: MGMConfig, n_sides: int):
-    """Scrub + weights + prefilter for the fused solve (no cost volume:
-    the fused kernel computes costs in-flight from these images)."""
+def _prep_core(u, v, cfg: MGMConfig, n_sides: int):
+    """Scrub + adaptive weights + prefilter (traced body shared by the
+    fused and mesh prep stages)."""
     u = jnp.nan_to_num(u.astype(jnp.float32), nan=0.0, posinf=0.0,
                        neginf=0.0)
     v = jnp.nan_to_num(v.astype(jnp.float32), nan=0.0, posinf=0.0,
@@ -94,6 +93,63 @@ def _prep_fused(u, v, *, cfg: MGMConfig, n_sides: int):
     w_v = compute_weights(v, cfg.a_p2, cfg.a_thresh)
     w8 = jnp.stack([w_u, w_v][:n_sides])
     return _preprocess(u, cfg), _preprocess(v, cfg), w8, u, v
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sides"))
+def _prep_fused(u, v, *, cfg: MGMConfig, n_sides: int):
+    """Scrub + weights + prefilter for the fused solve (no cost volume:
+    the fused kernel computes costs in-flight from these images)."""
+    return _prep_core(u, v, cfg, n_sides)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sides", "hpad", "mesh"))
+def _prep_mesh(u, v, *, cfg: MGMConfig, n_sides: int, hpad: int, mesh):
+    """Mesh-path prep: scrub/weights/prefilter run REPLICATED at the
+    true image height (census, gblur and the adaptive weights read row
+    neighbourhoods, so they must see the real bottom boundary), then
+    `hpad` fake rows are appended so every downstream stage shards
+    evenly over the mesh.  Float pads are NaN: their costs collapse to
+    0 via the all-invalid rule and the shifted border masks
+    (aggregate._pad_geometry) guarantee no real pixel ever reads a pad
+    cell, so real-row outputs are bitwise those of the unpadded run.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    up, vp, w8, u_s, v_s = _prep_core(u, v, cfg, n_sides)
+
+    def padrows(a, axis=0):
+        if not hpad:
+            return a
+        fill = jnp.nan if jnp.issubdtype(a.dtype, jnp.floating) else 0
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, hpad)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    def con(a, *spec):
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(*spec)))
+
+    return (con(padrows(up), "y"), con(padrows(vp), "y"),
+            con(padrows(w8, axis=1), None, "y"),
+            con(padrows(u_s), "y"), con(padrows(v_s), "y"))
+
+
+@partial(jax.jit, static_argnames=("cfg", "L", "gmins", "n_sides"))
+def _volumes_from_prep(up, vp, lo_idx, hi_idx, *, cfg: MGMConfig, L: int,
+                       gmins: tuple, n_sides: int):
+    """The (N, H, W, L) cost volumes from already-preprocessed images
+    (mesh path; the XLA builder shards row-wise under the mesh)."""
+    ccs = [build_cost_volume(up, vp, lo_idx[0], hi_idx[0], gmins[0],
+                             distance=cfg.distance, L=L,
+                             trunc_dist=cfg.trunc_dist,
+                             ncc_win=cfg.census_ncc_win, backend="xla")]
+    if len(gmins) == 2:
+        ccs.append(build_cost_volume(vp, up, lo_idx[1], hi_idx[1], gmins[1],
+                                     distance=cfg.distance, L=L,
+                                     trunc_dist=cfg.trunc_dist,
+                                     ncc_win=cfg.census_ncc_win,
+                                     backend="xla"))
+    return jnp.stack(ccs)
 
 
 def _fused_backend(cfg: MGMConfig, per_pixel: bool):
@@ -186,8 +242,10 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     pipeline — weights, cost volumes, the directional recursions,
     refinement and post-processing — over the image rows; the XLA SPMD
     partitioner turns the wavefront scans' one-row shifts into per-step
-    boundary-row collective-permutes (SURVEY.md 2.9).  H must divide
-    the mesh size.
+    boundary-row collective-permutes (SURVEY.md 2.9).  Any H works:
+    when the mesh size does not divide H, fake bottom rows are appended
+    after the (boundary-sensitive) prefilter/weight stages and masked
+    out of the recursion, so real-row outputs equal the unsharded run.
     """
     prof = [time.perf_counter()] if os.environ.get("MGM_TPU_PROFILE") else None
     u = np.asarray(u)
@@ -197,6 +255,8 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     if v.dtype != np.uint8:
         v = np.asarray(v, np.float32)
     H, W, C = u.shape
+    hpad = (-H) % int(mesh.devices.size) if mesh is not None else 0
+    Hs = H + hpad  # row extent of every sharded array
 
     # per-pixel disparity windows (mgm.cc:338-353)
     if dmin_img is not None:
@@ -205,10 +265,17 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         fhi = np.nan_to_num(np.asarray(dmax_img, np.float32).reshape(H, W),
                             nan=cfg.dmax, posinf=cfg.dmax, neginf=cfg.dmax)
         fhi = np.where(fhi < flo + 1, np.ceil(flo + 1), fhi)
+        if hpad:
+            # pad-row windows reuse the existing extremes so the global
+            # label axis does not widen; pad cells are never read
+            flo = np.pad(flo, ((0, hpad), (0, 0)),
+                         constant_values=float(flo.min()))
+            fhi = np.pad(fhi, ((0, hpad), (0, 0)),
+                         constant_values=float(fhi.max()))
         per_pixel = True
     else:
-        flo = np.full((H, W), cfg.dmin, np.float32)
-        fhi = np.full((H, W), cfg.dmax, np.float32)
+        flo = np.full((Hs, W), cfg.dmin, np.float32)
+        fhi = np.full((Hs, W), cfg.dmax, np.float32)
         per_pixel = False
 
     lo_i = flo.astype(np.int32)  # Dvec init truncates toward zero
@@ -237,15 +304,15 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         lo_idx = [lo_i - gmin_l]
         hi_idx = [hi_i - gmin_l]
         if n_sides == 2:
-            lo_idx.append(np.full((H, W), -cfg.dmax - gmin_r, np.int32))
-            hi_idx.append(np.full((H, W), -cfg.dmin - gmin_r, np.int32))
+            lo_idx.append(np.full((Hs, W), -cfg.dmax - gmin_r, np.int32))
+            hi_idx.append(np.full((Hs, W), -cfg.dmin - gmin_r, np.int32))
         lo_idx = jnp.asarray(np.stack(lo_idx))
         hi_idx = jnp.asarray(np.stack(hi_idx))
         flo_s = [flo]
         fhi_s = [fhi]
         if n_sides == 2:
-            flo_s.append(np.full((H, W), -cfg.dmax, np.float32))
-            fhi_s.append(np.full((H, W), -cfg.dmin, np.float32))
+            flo_s.append(np.full((Hs, W), -cfg.dmax, np.float32))
+            fhi_s.append(np.full((Hs, W), -cfg.dmin, np.float32))
         flo_j = jnp.asarray(np.stack(flo_s))
         fhi_j = jnp.asarray(np.stack(fhi_s))
     else:
@@ -266,7 +333,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         nonlocal lo_idx, hi_idx, flo_j, fhi_j, gmin_j
         if lo_idx is None:
             lo_idx, hi_idx, flo_j, fhi_j, gmin_j = _const_arrays(
-                H=H, W=W, los=tuple(los), his=tuple(his),
+                H=Hs, W=W, los=tuple(los), his=tuple(his),
                 flos=tuple(flo_v), fhis=tuple(fhi_v),
                 gmins=tuple(int(g) for g in gmin))
         return lo_idx, hi_idx
@@ -277,11 +344,13 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     backend = "auto"
     u_dev, v_dev = jnp.asarray(_u8_lossless(u)), jnp.asarray(_u8_lossless(v))
     if mesh is not None:
-        # row-shard every pipeline input; jit propagates the shardings
-        # through all stages.  The Pallas kernels are single-device
-        # programs, so the sharded pipeline runs the XLA scan path.
-        # make_array_from_callback builds the global arrays identically
-        # in single- and multi-controller (DCN) runs.
+        # row-shard the pipeline: images arrive replicated (prefilters
+        # and weights read row neighbourhoods at the true boundary),
+        # _prep_mesh pads+shards them, and jit propagates the shardings
+        # through every later stage.  The single-device Pallas kernels
+        # are bypassed (backend xla).  make_array_from_callback builds
+        # the global arrays identically in single- and multi-controller
+        # (DCN) runs.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         backend = "xla"
@@ -293,8 +362,8 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
             return jax.make_array_from_callback(host.shape, sh,
                                                 lambda idx: host[idx])
 
-        u_dev = _shard(u_dev, "y", None, None)
-        v_dev = _shard(v_dev, "y", None, None)
+        u_dev = _shard(u_dev)   # replicated; sharded after padding
+        v_dev = _shard(v_dev)
         lo_idx = _shard(lo_idx, None, "y", None)
         hi_idx = _shard(hi_idx, None, "y", None)
         flo_j = _shard(flo_j, None, "y", None)
@@ -302,7 +371,14 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         gmin_j = _shard(gmin_j)
     _mark("host prep", prof, (u_dev, v_dev))
     cc = None
-    if fused:
+    if mesh is not None:
+        u_p, v_p, w8, u_j, v_j = _prep_mesh(
+            u_dev, v_dev, cfg=cfg, n_sides=n_sides, hpad=hpad, mesh=mesh)
+        cc = _volumes_from_prep(u_p, v_p, lo_idx, hi_idx, cfg=cfg,
+                                L=int(L),
+                                gmins=tuple(int(g) for g in gmin),
+                                n_sides=n_sides)
+    elif fused:
         u_p, v_p, w8, u_j, v_j = _prep_fused(
             u_dev, v_dev, cfg=cfg, n_sides=n_sides)
         if per_pixel:
@@ -347,7 +423,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 gmin_j, p1=p1, p2=p2, ndir=cfg.ndir, mgm=cfg.mgm,
                 use_fh=cfg.use_trunc_linear, use_weights=use_weights,
                 per_pixel=per_pixel, fix_overcount=cfg.fix_overcount,
-                backend=backend)
+                backend=backend, hpad=hpad)
         if cfg.debug:
             # per-iteration energy audit (TSGM_DEBUG, mgm_print_energy.h)
             from .ops.energy import print_solution_energy
@@ -367,8 +443,22 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                                  method=cfg.refinement)
         _mark("refine", prof, (disp, cost))
         if it + 1 < cfg.iterations:
-            flo_j, fhi_j, s_lo, s_hi = _tighten(disp, flo_j, fhi_j, gmin_j,
+            d_t = disp
+            if hpad:
+                # update_dmin_dmax windows clamp at the true bottom edge
+                # (shift_edge); replicating the last real row into the
+                # pad rows reproduces that clamp exactly
+                row_ok = (jnp.arange(Hs) < H)[None, :, None]
+                d_t = jnp.where(row_ok, disp, disp[:, H - 1:H, :])
+            flo_j, fhi_j, s_lo, s_hi = _tighten(d_t, flo_j, fhi_j, gmin_j,
                                                 L)
+
+    if hpad:
+        # pad rows leave the pipeline as NaN: the NaN-aware median and
+        # the LR test then treat the true bottom edge exactly like the
+        # unpadded run (windows clip, NaN projections invalidate)
+        row_ok = (jnp.arange(Hs) < H)[None, :, None]
+        disp = jnp.where(row_ok, disp, jnp.nan)
 
     want_back = outputs is None or "backflow" in outputs
     disp, disp_nolr, back = _postprocess(
@@ -395,5 +485,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                for k, a in out.items()}
     else:
         out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    if hpad:
+        out = {k: a[:H] for k, a in out.items()}  # drop the fake rows
     _mark("device_get", prof)
     return out

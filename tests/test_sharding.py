@@ -138,6 +138,31 @@ def test_halo_aggregate_weighted_fh(rng):
                                atol=1e-3, rtol=1e-6)
 
 
+def test_pipeline_mesh_ragged_rows(rng):
+    """Full compute_disparity pipeline on an H that does NOT divide the
+    mesh size: fake bottom rows are appended after the boundary-
+    sensitive prep stages and masked out of the recursion
+    (aggregate._pad_geometry), so the sharded run is BITWISE-equal to
+    the single-device run."""
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.stereo import compute_disparity
+
+    H, W = 27, 24  # 27 rows over 4 devices -> pad to 28
+    u = rng.uniform(0, 50, (H, W, 1)).astype(np.float32)
+    v = (np.roll(u, 2, axis=1)
+         + rng.normal(0, 1, (H, W, 1)).astype(np.float32))
+    for cfg in (MGMConfig(dmin=-4, dmax=2, ndir=8, mgm=4, a_p2=0.5,
+                          refinement="vfit", median_radius=1, test_lr=True),
+                MGMConfig(dmin=-4, dmax=2, ndir=4, mgm=2, iterations=2,
+                          distance="census", prefilter="census",
+                          use_trunc_linear=True, p1=2, p2=100,
+                          refinement="parabola", test_lr=True)):
+        a = compute_disparity(u, v, cfg)
+        b = compute_disparity(u, v, cfg, mesh=make_mesh(4))
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_pipeline_mesh_per_pixel(rng):
     """Full compute_disparity pipeline, row-sharded, with per-pixel
     -m/-M windows == the unsharded volume path."""
