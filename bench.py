@@ -56,6 +56,32 @@ def main():
         jax.clear_caches()
         run()
 
+    if os.environ.get("MGM_TPU_BENCH_PARITY", "1") != "0":
+        # full-scale-geometry parity gate (scripts/tpu_parity.py is the
+        # full sweep): Mosaic lowering varies with tile shapes, and the
+        # round-2 overcount-fold miscompile appeared ONLY at Rp=512,
+        # L=151 — so probe the fused kernels against the dense path on
+        # a full-height strip before publishing a number.  Non-fatal:
+        # the bench still reports, with the parity verdict on its own
+        # comment line.
+        for mgm in (2, 4):
+            c = MGMConfig(dmin=-120, dmax=30, ndir=4, mgm=mgm,
+                          distance="ad", p1=8, p2=32, test_lr=True)
+            us, vs = u[:, :256], v[:, :256]
+            f = compute_disparity(us, vs, c, outputs=("disp", "cost"))
+            os.environ["MGM_TPU_FUSED"] = "0"
+            try:
+                x = compute_disparity(us, vs, c, outputs=("disp", "cost"))
+            finally:
+                del os.environ["MGM_TPU_FUSED"]
+            fa, fb = np.isfinite(x["disp"]), np.isfinite(f["disp"])
+            both = fa & fb
+            eq = float((np.abs(x["disp"][both] - f["disp"][both])
+                        <= 0.05).mean()) if both.any() else 1.0
+            ok = (fa == fb).mean() >= 0.9995 and eq >= 0.998
+            print(f"# parity strip mgm={mgm}: "
+                  f"{'ok' if ok else 'FAIL'} eq={eq:.5f}", flush=True)
+
     best = None
     for _ in range(REPS):
         t0 = time.perf_counter()

@@ -14,10 +14,14 @@ accumulates onto the forward launch's output planes (one per
 side x space) — no image flips, label reversals or per-pass volumes
 exist anywhere, unlike the round-1 flip-only canonicalisation.
 
-Coverage (identical to round 1's): passes 0,1,4,6 at any mgm; 2,3 at
-mgm <= 3; 5,7 at mgm == 1; the 22.5-degree knight passes and the rest
-fall back to the cost-volume path (ops/aggregate.py).  Slope 1 is used
-when it covers the same pass set (no dep with |dt| == 0), shrinking
+Coverage: ALL 8 reference passes fuse at every mgm in 1..4 — passes
+0,1,4,6 in the skewed A/B spaces, 2,3 (mgm <= 3) in B, 5,7
+(mgm in 2..3) as slope-0 column fronts (space V), and the mgm = 4
+holdouts 2,3,5,7 in the PACKED PARITY spaces PA/PB (slope-1/2
+wavefronts t = 2c +- r whose lanes hold half-rows — see
+pallas_fused._kernel).  Only the 22.5-degree knight passes (9..16)
+take the cost-volume path (ops/aggregate.py).  Slope 1 is used when
+it covers the same A/B pass set (no dep with |dt| == 0), shrinking
 the skewed arrays ~30%.
 """
 from __future__ import annotations
@@ -53,15 +57,30 @@ PASS_DIRS = (
 # mgm_core.cc:468,471) fusable, so ndir = 8 configs at mgm <= 3 (the
 # reference's census/trunc-linear benchmarks) never touch the
 # cost-volume fallback.
+#
+# Spaces PA/PB = slope-1/2 ("parity") wavefronts t = 2c + r (PA) /
+# t = 2c + (R-1-r) (PB): the only linear schedules under which the
+# mgm = 4 dep sets of passes 2/3/5/7 (each mixing a vertical dep with
+# both diagonal signs, mgm_core.cc:465-471) are strictly causal —
+# pass 2 fwd / 3 bwd in PB, pass 7 fwd / 5 bwd in PA.  Each front
+# holds every other image row; the kernel PACKS lanes as half-rows
+# (lane rho = row 2*rho + front-parity), so occupancy stays full and
+# only the front count grows (T = 2C + R vs C + 2R).  This removes the
+# last dense-volume fallback of the reference's default TSGM=4 config.
 SCHEDULES = (("A", "fwd"), ("A", "bwd"), ("B", "fwd"), ("B", "bwd"),
-             ("V", "fwd"), ("V", "bwd"))
+             ("V", "fwd"), ("V", "bwd"),
+             ("PA", "fwd"), ("PA", "bwd"), ("PB", "fwd"), ("PB", "bwd"))
+
+P_SLOPE = -1  # `slope` tag marking the packed parity group
 
 
 def _assign(p: int, mgm: int, slope: int):
     """(space, dir, ranks) scheduling pass p's first `mgm` deps, or
-    None.  ranks: per-dep (front lag, lane roll); roll = -dy reads the
-    dep row's lane.  Preference order keeps low-mgm configs in space A
-    (fewer planes) and reaches for V (an extra launch pair) last."""
+    None.  ranks: per-dep (front lag, lane roll) — parity spaces use
+    (front lag, dy) since the packed lane roll is front-parity
+    dependent (pallas_fused._delta_roll).  Preference order keeps
+    low-mgm configs in space A (fewer planes) and reaches for V and
+    the parity spaces (extra launch pairs) last."""
     if p >= len(PASS_DIRS):
         return None  # knight passes stay on the cost-volume path
     deps = PASS_DIRS[p][:mgm]
@@ -72,12 +91,17 @@ def _assign(p: int, mgm: int, slope: int):
                 dt = dx + slope * dy
             elif space == "B":
                 dt = dx - slope * dy
-            else:
+            elif space == "V":
                 dt = dx
+            elif space == "PA":
+                dt = 2 * dx + dy
+            else:
+                dt = 2 * dx - dy
             lag = -dt if d == "fwd" else dt
             if lag <= 0:
                 break
-            ranks.append((lag, -dy))
+            ranks.append((lag, dy) if space in ("PA", "PB")
+                         else (lag, -dy))
         else:
             return space, d, tuple(ranks)
     return None
@@ -91,9 +115,10 @@ def fused_spec(p: int, mgm: int):
 def split_passes(ndir: int, mgm: int):
     """(groups, leftover_pids).
 
-    groups: up to two (slope, spaces, launches) tuples — the skewed
-    group (slope 1 or 2, spaces within {A, B}) and the column-front
-    group (slope 0, spaces ["V"]); launches within a group:
+    groups: up to three (slope, spaces, launches) tuples — the skewed
+    group (slope 1 or 2, spaces within {A, B}), the column-front group
+    (slope 0, ["V"]) and the packed parity group (slope P_SLOPE = -1,
+    spaces within {PA, PB}); launches within a group:
     [("fwd", [(pid, space, ranks, border), ...]), ("bwd", [...])] with
     empty directions dropped; border = (need_left, need_right,
     need_top, need_bottom) from the pass's FULL 4-dep set
@@ -103,19 +128,24 @@ def split_passes(ndir: int, mgm: int):
     """
     cand = {p: fused_spec(p, mgm) for p in range(ndir)}
     fused = {p for p, s in cand.items() if s is not None}
-    if (all(_assign(p, mgm, 1) for p in fused) if fused else False):
-        cand = {p: _assign(p, mgm, 1) for p in fused}
+    in_ab = {p for p in fused if cand[p][0] in ("A", "B")}
+    cand1 = {p: _assign(p, mgm, 1) for p in in_ab}
+    if in_ab and all(a is not None and a[0] in ("A", "B")
+                     for a in cand1.values()):
+        cand.update(cand1)
         slope = 1
     else:
         slope = 2
     leftover = [p for p in range(ndir) if p not in fused]
     groups = []
-    for kind in ("AB", "V"):
+    for kind in ("AB", "V", "P"):
         launches = {"fwd": [], "bwd": []}
         spaces = []
         for p in sorted(fused):
             space, d, ranks = cand[p]
-            if (space == "V") != (kind == "V"):
+            k = "V" if space == "V" else ("P" if space in ("PA", "PB")
+                                          else "AB")
+            if k != kind:
                 continue
             full = PASS_DIRS[p]
             border = (any(dx < 0 for dx, dy in full),
@@ -126,9 +156,10 @@ def split_passes(ndir: int, mgm: int):
             if space not in spaces:
                 spaces.append(space)
         if spaces:
-            spaces = ([s for s in ("A", "B") if s in spaces]
-                      if kind == "AB" else ["V"])
-            groups.append((slope if kind == "AB" else 0, spaces,
+            order = {"AB": ("A", "B"), "V": ("V",), "P": ("PA", "PB")}
+            spaces = [s for s in order[kind] if s in spaces]
+            gslope = {"AB": slope, "V": 0, "P": P_SLOPE}[kind]
+            groups.append((gslope, spaces,
                            [(d, ms) for d, ms in launches.items() if ms]))
     return groups, leftover
 
@@ -163,6 +194,80 @@ def _col_window(a, start: int, width: int, fill):
                                 axis=a.ndim - 1)
 
 
+def _pad_rows(a, rows: int, fill):
+    """Pad axis -2 up to `rows`."""
+    R = a.shape[-2]
+    if R == rows:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[-2] = (0, rows - R)
+    return jnp.pad(a, pad, constant_values=fill)
+
+
+def _skew_packed(a, space: str, t_len: int, R2: int, fill):
+    """(..., R, C) -> (..., R2, t_len) PACKED parity skew: lane rho of
+    front t holds pixel (row 2*rho + par, col t//2 - A0 + ssgn*rho)
+    with par = (t & 1) ^ (space == "PB"), (A0, ssgn) = (0, -1) for PA
+    and (R2 - 1, +1) for PB.  Pure pad/reshape, no gathers."""
+    a = _pad_rows(a, 2 * R2, fill)
+    if space == "PB":
+        a = jnp.flip(a, -2)
+    th = t_len // 2
+    E = _skew_rows(a[..., 0::2, :], 1, th, fill)
+    O = _skew_rows(a[..., 1::2, :], 1, th, fill)
+    out = jnp.stack([E, O], axis=-1).reshape(a.shape[:-2] + (R2, t_len))
+    if space == "PB":
+        out = jnp.flip(out, -2)
+    return out
+
+
+def _ring_packed(v, space: str, th_len: int, R2: int, fill):
+    """Phase-shifted right image (..., R, Wv) -> the two per-front-
+    parity ring sources (V_even, V_odd), each (..., R2, th_len):
+    V_par[rho, tau] = the packed value of front 2*tau + par at lane
+    rho (= _skew_packed(v)[rho, 2*tau + par])."""
+    v = _pad_rows(v, 2 * R2, fill)
+    if space == "PB":
+        v = jnp.flip(v, -2)
+    E = _skew_rows(v[..., 0::2, :], 1, th_len, fill)
+    O = _skew_rows(v[..., 1::2, :], 1, th_len, fill)
+    if space == "PB":
+        E, O = jnp.flip(E, -2), jnp.flip(O, -2)
+    return E, O
+
+
+def _unskew_rows(a, C: int, slope: int):
+    """Inverse of _skew_rows on the last two axes:
+    out[..., r, c] = a[..., r, c + slope*r]."""
+    shp = a.shape
+    R, T = shp[-2], shp[-1]
+    flat = a.reshape(shp[:-2] + (R * T,))
+    flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, slope * R)])
+    out = flat.reshape(shp[:-2] + (R, T + slope))
+    return out[..., :C]
+
+
+def _unskew_packed(pair, C: int, R: int, space: str):
+    """Transposed parity outputs ((even, odd), each (Mp, R2, Th, L)) ->
+    (Mp, R, C, L) image-space volume."""
+    outs = []
+    for y in pair:
+        z = jnp.transpose(y, (0, 3, 1, 2))         # (Mp, L, R2, Th)
+        if space == "PB":
+            z = jnp.flip(z, -2)
+        z = _unskew_rows(z, C, 1)                  # (Mp, L, R2, C)
+        if space == "PB":
+            z = jnp.flip(z, -2)
+        outs.append(z)
+    a, b = outs                                    # even-/odd-front
+    if space == "PB":
+        a, b = b, a                                # -> even/odd ROWS
+    vol = jnp.stack([a, b], axis=3)                # (Mp, L, R2, 2, C)
+    Mp, L, R2 = vol.shape[0], vol.shape[1], vol.shape[2]
+    vol = vol.reshape(Mp, L, 2 * R2, vol.shape[-1])
+    return jnp.transpose(vol, (0, 2, 3, 1))[:, :R]
+
+
 def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
                slope, mgm, p1, p2, mode, nch, tmax, use_fh, use_weights,
                kappa, fold_group, interpret, lohi_px=None,
@@ -180,19 +285,41 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     Returns the transposed raw output (Mp, RP, Tp, L).
     """
     N = len(sides)
+    parity = slope == P_SLOPE
     # front-block depth: more fronts per grid step amortise per-step
     # overhead but grow the (Mp, G, L, Rp) in/out blocks; 8 is safe
-    # everywhere, 16 is worth trying on large-VMEM parts
-    G = int(os.environ.get("MGM_TPU_FUSED_G", "8"))
-    T = C + slope * (RP - 1) + 8
-    Tp = -(-T // G) * G
-    SLAB = -(-(G + L - 1) // 8) * 8
-    Tv = Tp + SLAB
-    A0 = {"A": 0, "B": slope * (RP - 1), "V": 0}
-    SS = {"A": -1, "B": 1, "V": -1}
+    # everywhere, 16 is worth trying on large-VMEM parts.  Parity
+    # launches need G/2 (the per-ring advance) to stay 8-aligned.
+    if parity:
+        G = int(os.environ.get("MGM_TPU_FUSED_GP", "16"))
+        # half-row lanes; DMA slices need the lane dim 128-aligned
+        R2 = -(-(RP // 2) // 128) * 128
+        T = 2 * C + 2 * R2 + 8
+        Tp = -(-T // G) * G
+        SLAB = -(-(G // 2 + L - 1) // 8) * 8
+        Tv = Tp // 2 + SLAB
+        A0 = {"PA": 0, "PB": R2 - 1}
+        SS = {"PA": -1, "PB": 1}
+        PARF = {"PA": 0, "PB": 1}
+        kslope = 1
+    else:
+        G = int(os.environ.get("MGM_TPU_FUSED_G", "8"))
+        T = C + slope * (RP - 1) + 8
+        Tp = -(-T // G) * G
+        SLAB = -(-(G + L - 1) // 8) * 8
+        Tv = Tp + SLAB
+        A0 = {"A": 0, "B": slope * (RP - 1), "V": 0}
+        SS = {"A": -1, "B": 1, "V": -1}
+        PARF = {"A": 0, "B": 0, "V": 0}
+        kslope = slope
 
     int_img = jnp.issubdtype(left[0].dtype, jnp.integer)
     ifill = 0 if int_img else 0.0
+
+    def skew_in(a, space, t_len, fill):
+        if parity:
+            return _skew_packed(a, space, t_len, R2, fill)
+        return _skew(a, space, slope, t_len, fill)
 
     # ---- planes: one output volume per (side, space) -----------------
     plane_ix = {}
@@ -206,16 +333,21 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
             # group's first space's forward launch (all spaces share
             # the side's CC)
             fold = fold_group and (space == spaces[0]) and (kappa != 0.0)
-            plane_specs.append((gmin, lo, hi, A0[space], SS[space], fold))
+            plane_specs.append((gmin, lo, hi, A0[space], SS[space], fold,
+                                PARF[space]))
             u_c = jnp.moveaxis(left[n], -1, 0)     # (Cch, R, C)
             v_c = jnp.moveaxis(right[n], -1, 0)
             if RP != R:
                 padr = [(0, 0), (0, RP - R), (0, 0)]
                 u_c = jnp.pad(u_c, padr, constant_values=ifill)
                 v_c = jnp.pad(v_c, padr, constant_values=ifill)
-            u_sk.append(_skew(u_c, space, slope, Tp, ifill))
-            v_shift = _col_window(v_c, gmin, Tv, ifill)
-            v_sk.append(_skew(v_shift, space, slope, Tv, ifill))
+            u_sk.append(skew_in(u_c, space, Tp, ifill))
+            if parity:
+                v_shift = _col_window(v_c, gmin, Tv, ifill)
+                v_sk.append(_ring_packed(v_shift, space, Tv, R2, ifill))
+            else:
+                v_shift = _col_window(v_c, gmin, Tv, ifill)
+                v_sk.append(_skew(v_shift, space, slope, Tv, ifill))
             if lohi_px is not None:
                 # pad cells get the full window: they are masked by the
                 # col/row bounds anyway and never trip all-invalid->0
@@ -225,10 +357,14 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
                     pr = [(0, RP - R), (0, 0)]
                     lo_c = jnp.pad(lo_c, pr, constant_values=0)
                     hi_c = jnp.pad(hi_c, pr, constant_values=L - 1)
-                lo_sk.append(_skew(lo_c, space, slope, Tp, 0))
-                hi_sk.append(_skew(hi_c, space, slope, Tp, L - 1))
+                lo_sk.append(skew_in(lo_c, space, Tp, 0))
+                hi_sk.append(skew_in(hi_c, space, Tp, L - 1))
     U = jnp.swapaxes(jnp.stack(u_sk), -1, -2)      # (Mp, Cch, Tp, RP)
-    V = jnp.swapaxes(jnp.stack(v_sk), -1, -2)
+    if parity:
+        V = (jnp.swapaxes(jnp.stack([p[0] for p in v_sk]), -1, -2),
+             jnp.swapaxes(jnp.stack([p[1] for p in v_sk]), -1, -2))
+    else:
+        V = jnp.swapaxes(jnp.stack(v_sk), -1, -2)
     lohi = None
     if lohi_px is not None:
         lohi = (jnp.swapaxes(jnp.stack(lo_sk), -1, -2),
@@ -241,39 +377,45 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
         w_sk = []
         for pid, space, ranks, border in passes:
             for c in ranks:
-                if c not in combos:
-                    combos.append(c)
+                # parity combo keys carry the space's parf: the packed
+                # lane roll of a (lag, dy) dep flips between PA and PB
+                ck = c + (PARF[space],) if parity else c
+                if ck not in combos:
+                    combos.append(ck)
         for pid, space, ranks, border in passes:
+            cks = [c + (PARF[space],) if parity else c for c in ranks]
             for n in range(N):
                 mspecs.append((plane_ix[(n, space)],
-                               tuple(combos.index(c) for c in ranks),
+                               tuple(combos.index(ck) for ck in cks),
                                border))
                 if use_weights:
                     wch = PASS_TABLE[pid].wch
                     planes = []
-                    for c in combos:
-                        if c in ranks:
-                            wp = w8[n, :, :, wch[ranks.index(c)]]
+                    for ck in combos:
+                        if ck in cks:
+                            wp = w8[n, :, :, wch[cks.index(ck)]]
                         else:
                             wp = jnp.ones((R, C), jnp.float32)
                         if RP != R:
                             wp = jnp.pad(wp, [(0, RP - R), (0, 0)],
                                          constant_values=1.0)
-                        planes.append(_skew(wp, space, slope, Tp, 1.0))
+                        planes.append(skew_in(wp, space, Tp, 1.0))
                     w_sk.append(jnp.stack(planes))
         W = (jnp.swapaxes(jnp.stack(w_sk), -1, -2) if use_weights
              else None)
         # the kappa*CC fold happens exactly once: in the first launch
         lspecs = (plane_specs if out is None
-                  else [s[:5] + (False,) for s in plane_specs])
+                  else [s[:5] + (False,) + s[6:] for s in plane_specs])
         out = pf.fused_wavefront(
             U, V, W, out, planes=lspecs, mspecs=mspecs,
-            combos=combos, C=C, R_eff=R, L=L, G=G, slope=slope, mgm=mgm,
+            combos=combos, C=C, R_eff=R, L=L, G=G, slope=kslope, mgm=mgm,
             mode=mode, nch=nch, tmax=tmax, p1=p1, p2=p2, use_fh=use_fh,
             use_weights=use_weights, kappa=kappa, reverse=(d == "bwd"),
-            lohi=lohi, fh_restrict=fh_restrict,
+            lohi=lohi, fh_restrict=fh_restrict, parity=parity,
             interpret=interpret)                   # (Mp, Tp, L, RP)
 
+    if parity:
+        return tuple(jnp.transpose(o, (0, 3, 1, 2)) for o in out)
     return jnp.transpose(out, (0, 3, 1, 2))        # (Mp, RP, Tp, L)
 
 
@@ -309,7 +451,14 @@ def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
         return outs
     total = None
     for raw, slope_g, spaces_g in outs:
-        if slope_g == 0:
+        if slope_g == P_SLOPE:
+            part = None
+            for si, sp in enumerate(spaces_g):
+                pair = (raw[0][si * N:(si + 1) * N],
+                        raw[1][si * N:(si + 1) * N])
+                vol = _unskew_packed(pair, C, R, sp)
+                part = vol if part is None else part + vol
+        elif slope_g == 0:
             part = raw[:, :R, :C, :]  # V unskew: t = c, pure slice
         else:
             sp_tags = [0 if s == "A" else 1 for s in spaces_g
@@ -447,9 +596,20 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             part = part + kappa * cc
         lsum = part if lsum is None else lsum + part
 
-    # ---- S assembly + WTA (solver.py / mgm_core.cc:582-609) ---------
+    return assemble_swta(lsum, s_lo, s_hi, sides=sides, L=L, ndir=ndir,
+                         fix_overcount=fix_overcount,
+                         lo_px=lo_px if per_pixel else None,
+                         hi_px=hi_px if per_pixel else None)
+
+
+def assemble_swta(lsum, s_lo, s_hi, *, sides, L: int, ndir: int,
+                  fix_overcount: bool, lo_px=None, hi_px=None):
+    """S assembly + WTA from a (fold-included) aggregated volume sum
+    (solver.py / mgm_core.cc:582-609); shared by the single-device
+    fused solve and the sharded pipeline (parallel/fused_shard.py).
+    Returns (S, disp, cost)."""
     l_idx = jnp.arange(L, dtype=jnp.int32)
-    if per_pixel:
+    if lo_px is not None:
         in_cc = window_mask(lo_px, hi_px, L)       # (N, H, W, L)
     else:
         in_cc = jnp.stack([(l_idx >= lo) & (l_idx <= hi)

@@ -155,7 +155,7 @@ def unskew_planes(y, C: int, R: int, slope: int, spaces,
     return out[:, :R]
 
 
-def _wta_kernel(*refs, C, slope, rpb, A0, L, sides, have):
+def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, sides, have):
     """Fused unskew + cross-space sum + WTA for one row group.
 
     Replaces unskew -> space-sum -> S-window -> argmin/min
@@ -163,30 +163,49 @@ def _wta_kernel(*refs, C, slope, rpb, A0, L, sides, have):
     S/WTA label windows equal the per-side constant CC windows: the
     unskewed (N, H, W, L) volume is never materialised.  Inputs are
     row-group blocks of the transposed launch outputs, one per space in
-    `have` (subset of "A", "B", "V" in that order); per row the values
-    of the same pixel are static sublane slices (A/B: the residue trick
-    of _unskew_kernel; V: the identity window t = c), summed in VMEM
-    and reduced over the label (lane) axis.  Ties pick the lowest
-    label, as jnp.argmin does; an all-invalid window yields idx 0 and
-    +inf cost exactly like the dense path.
+    `have` ("A"/"B"/"V" consume one ref; packed parity spaces "PA"/"PB"
+    consume an (even, odd) front-parity ref pair whose lanes are
+    half-rows); per row the values of the same pixel are static sublane
+    slices (the mod-8 residue trick), summed in VMEM and reduced over
+    the label (lane) axis.  Ties pick the lowest label, as jnp.argmin
+    does; an all-invalid window yields idx 0 and +inf cost exactly like
+    the dense path.
     """
-    n_in = len(have)
+    n_in = sum(2 if sp in ("PA", "PB") else 1 for sp in have)
     in_refs = refs[:n_in]
     d_ref, c_ref = refs[n_in:]
     k = pl.program_id(0)
     lab = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    A0B = slope * (RP - 1)
+    A0P = R2 - 1  # parity halves' (possibly 128-padded) half-row extent
 
-    def space_slice(ref, n, j, sp):
+    def space_slice(rs, n, j, sp):
         if sp == "V":
-            return ref[n, j, :C, :]
-        if sp == "B":
-            c0 = 8 * ((A0 - slope * j) // 8)
-            base = pl.multiple_of(c0 - 8 * k, 8)
-            res = (A0 - slope * j) % 8
+            return rs[0][n, j, :C, :]
+        if sp == "A":
+            ref, jj = rs[0], j
+            base = pl.multiple_of(slope * rpb * k + 8 * ((slope * j) // 8),
+                                  8)
+            res = (slope * j) % 8
+        elif sp == "B":
+            ref, jj = rs[0], j
+            c0 = 8 * ((A0B - slope * j) // 8)
+            base = pl.multiple_of(c0 - slope * rpb * k, 8)
+            res = (A0B - slope * j) % 8
         else:
-            base = pl.multiple_of(8 * k, 8)
-            res = slope * j
-        buf = ref[n, j, pl.ds(base, C + 8), :]
+            # packed parity: row r = rpb*k + j lives in the front-parity
+            # (j&1)^parf half at half-row jj = r >> 1
+            parf = 1 if sp == "PB" else 0
+            ref, jj = rs[(j & 1) ^ parf], j >> 1
+            if sp == "PA":
+                base = pl.multiple_of((rpb // 2) * k + 8 * ((j >> 1) // 8),
+                                      8)
+                res = (j >> 1) % 8
+            else:
+                c0 = 8 * ((A0P - (j >> 1)) // 8)
+                base = pl.multiple_of(c0 - (rpb // 2) * k, 8)
+                res = (A0P - (j >> 1)) % 8
+        buf = ref[n, jj, pl.ds(base, C + 8), :]
         return buf[res:res + C, :]
 
     Cp = d_ref.shape[2]
@@ -194,8 +213,11 @@ def _wta_kernel(*refs, C, slope, rpb, A0, L, sides, have):
         in_win = (lab >= lo) & (lab <= hi)
         for j in range(rpb):
             s = None
-            for ref, sp in zip(in_refs, have):
-                sl = space_slice(ref, n, j, sp)
+            i = 0
+            for sp in have:
+                nr = 2 if sp in ("PA", "PB") else 1
+                sl = space_slice(in_refs[i:i + nr], n, j, sp)
+                i += nr
                 s = sl if s is None else s + sl
             cand = jnp.where(in_win & (s < INF) & (s > -INF), s, INF)
             cost = jnp.min(cand, axis=-1, keepdims=True)       # (C, 1)
@@ -213,19 +235,43 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
     """Raw fused-launch outputs -> (disp, cost), each (N, R, C)
     float32, N = len(sides).
 
-    group_outs: [(y (Mp, RP, Tp_g, L), slope_g, spaces_g), ...] as
-    returned by run_fused(assemble=False); within the skewed group the
-    plane order is space-contiguous (all A planes, then all B planes),
-    sides contiguous within a space."""
+    group_outs: [(y, slope_g, spaces_g), ...] as returned by
+    run_fused(assemble=False): y is (Mp, RP, Tp_g, L) for skewed/V
+    groups and an (even, odd) pair of (Mp, RP/2, Th_g, L) for the
+    packed parity group (slope_g = -1); within a group the plane order
+    is space-contiguous, sides contiguous within a space."""
     N = len(sides)
-    RP = group_outs[0][0].shape[1]
-    L = group_outs[0][0].shape[3]
+    first = group_outs[0][0]
+    y0 = first[0] if isinstance(first, tuple) else first
+    L = y0.shape[3]
     slope = next((s for _, s, _ in group_outs if s > 0), 1)
-    rpb = 8 // slope
+    has_p = any(s == -1 for _, s, _ in group_outs)
+    RP = next(y.shape[1] for y, s, _ in group_outs if s >= 0) \
+        if any(s >= 0 for _, s, _ in group_outs) \
+        else 2 * first[0].shape[1]
+    # parity halves address rows in pairs -> 16-row groups; the A/B
+    # residue trick generalises to any rpb via the mod-8 split
+    rpb = 16 if has_p else 8 // slope
     assert RP % rpb == 0
+    R2 = next((y[0].shape[1] for y, s, _ in group_outs if s == -1),
+              RP // 2)
     args, in_specs, have = [], [], []
     total_bytes = 0
     for y, slope_g, spaces_g in group_outs:
+        if slope_g == -1:
+            total_bytes += sum(h.size * 4 for h in y)
+            assert y[0].shape[1] == R2 and R2 >= RP // 2
+            for si, sp in enumerate(spaces_g):
+                for half in y:
+                    args.append(half)
+                    in_specs.append(
+                        pl.BlockSpec((N, rpb // 2, half.shape[2], L),
+                                     functools.partial(
+                                         lambda k, _si: (_si, k, 0, 0),
+                                         _si=si),
+                                     memory_space=pltpu.VMEM))
+                have.append(sp)
+            continue
         assert y.shape[1] == RP
         Tp_g = y.shape[2]
         total_bytes += y.size * 4
@@ -237,15 +283,18 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
                                  lambda k, _si: (_si, k, 0, 0), _si=si),
                              memory_space=pltpu.VMEM))
             have.append(sp if slope_g > 0 else "V")
-    order = {"A": 0, "B": 1, "V": 2}
+    order = {"A": 0, "B": 1, "V": 2, "PA": 3, "PB": 4}
+    nrefs = [2 if h in ("PA", "PB") else 1 for h in have]
+    starts = [sum(nrefs[:i]) for i in range(len(have))]
     perm = sorted(range(len(have)), key=lambda i: order[have[i]])
-    args = [args[i] for i in perm]
-    in_specs = [in_specs[i] for i in perm]
+    args = [args[starts[i] + d] for i in perm for d in range(nrefs[i])]
+    in_specs = [in_specs[starts[i] + d] for i in perm
+                for d in range(nrefs[i])]
     have = [have[i] for i in perm]
     Cp = -(-C // 8) * 8
     disp, cost = pl.pallas_call(
         functools.partial(_wta_kernel, C=C, slope=slope, rpb=rpb,
-                          A0=slope * (RP - 1), L=L, sides=tuple(sides),
+                          RP=RP, R2=R2, L=L, sides=tuple(sides),
                           have=tuple(have)),
         grid=(RP // rpb,),
         in_specs=in_specs,
@@ -267,6 +316,207 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
         return x[:, :R, :C]
 
     return reassemble(disp), reassemble(cost)
+
+
+def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
+                  p1, p2, mgm, mode, nch, tmax, use_fh, use_weights, kappa,
+                  reverse, accumulate, per_pixel, fh_restrict, ship_lane,
+                  inject_lane, RPg):
+    """One G-front block of the fused recursion on a device's LOCAL
+    rows, with explicit carried state — the building block of the
+    sharded pipeline (parallel/fused_shard.py): the surrounding
+    lax.scan slices the blocks, ppermutes the shipped boundary rows,
+    and staggers devices by one block so every cross-device dependency
+    (lag <= D <= G fronts) is satisfied (SURVEY.md 2.9: "device k
+    starts its block as soon as it receives the halo row of Lr
+    L-vectors").
+
+    Differences from the resident-grid `_kernel`: no ring buffer (the
+    v window slab arrives pre-sliced), hist/mins are inputs AND
+    outputs, lane rolls at the shard edge read the `halo` track
+    (the neighbour's boundary-row messages, indexed by front), and the
+    per-front boundary row is emitted for the next device.
+
+    refs: scal (SMEM int32 [t0, r0]: global front/row offsets of this
+      block), U_blk (Mp, Cch, G, Rl), v_slab (Mp, Cch, SLAB, Rl),
+      [W_blk (Ml, ncombo, G, Rl)], [lo_blk, hi_blk (Mp, G, Rl)],
+      hist_in (D, Ml, L, Rl), mins_in (D, Ml, Rl),
+      halo_f (G+16, Ml, L) — the neighbour's boundary rows, front t at
+      index t - t0 + 8 (their cached minima are recomputed here: min is
+      order-independent, so the value is bitwise the sender's),
+      [acc_blk (Mp, G, L, Rl)];
+    outputs: out_blk (Mp, G, L, Rl), hist_out, mins_out,
+      ship_f (G, Ml, L).
+    """
+    it = iter(refs)
+    scal = next(it)
+    u_ref = next(it)
+    v_slab = next(it)
+    w_ref = next(it) if use_weights else None
+    lo_ref = next(it) if per_pixel else None
+    hi_ref = next(it) if per_pixel else None
+    hist_in, mins_in = next(it), next(it)
+    halo_f = next(it)
+    acc_ref = next(it) if accumulate else None
+    out_ref, hist_out, mins_out, ship_f = it
+
+    t0 = scal[0]
+    r0 = scal[1]
+    Mp = u_ref.shape[0]
+    Rl = u_ref.shape[-1]
+    hist = [(hist_in[k], mins_in[k]) for k in range(D)]
+    lab = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, Rl), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Rl), 1)
+    row_im = r0 + row                      # global image rows
+
+    us = range(G - 1, -1, -1) if reverse else range(G)
+    for u in us:
+        t = t0 + u
+        u_t = u_ref[:, :, u, :]
+        v_win = v_slab[:, :, u:u + L, :]
+        raw = _cost_front(u_t, v_win, mode, nch)
+        cc, cols, wins = [], [], []
+        for i, (phase, lo, hi, A0, ssgn, fold, parf) in enumerate(planes):
+            col = t - A0 + ssgn * slope * row_im
+            e = jnp.minimum(raw[i], tmax)
+            q = col + phase + lab
+            e = jnp.where((q >= 0) & (q < C), e, tmax)
+            if per_pixel:
+                in_win = ((lab >= lo_ref[i, u, :][None, :])
+                          & (lab <= hi_ref[i, u, :][None, :]))
+            else:
+                in_win = (lab >= lo) & (lab <= hi)
+            fin = in_win & (e < INF)
+            anyfin = jnp.max(fin.astype(jnp.float32), axis=0, keepdims=True)
+            e = jnp.where(anyfin > 0, e, 0.0)
+            ok = in_win & (col >= 0) & (col < C) & (row_im < R_eff)
+            cc.append(jnp.where(ok, e, INF))
+            cols.append(col)
+            wins.append(in_win)
+
+        if fh_restrict:
+            mask_all = jnp.stack([wins[pi] for pi, _, _ in mspecs])
+
+        msgs = []
+        for ci, (lag, roll) in enumerate(combos):
+            f, mn = hist[lag - 1]
+            if roll:
+                f = _lane_roll(f, roll, INF)
+                mn = _lane_roll(mn, roll, INF)
+                # the shard-edge lane reads the neighbour device's
+                # boundary row for front t -+ lag instead of INF
+                hidx = u + (lag if reverse else -lag) + 8
+                hrow = halo_f[hidx]                       # (Ml, L)
+                f = jnp.where(lane1[None] == inject_lane,
+                              hrow[:, :, None], f)
+                mn = jnp.where(lane1 == inject_lane,
+                               jnp.min(hrow, axis=-1)[:, None], mn)
+            mk = mn[:, None, :]
+            if use_weights:
+                d = w_ref[:, ci, u, :][:, None, :]
+                p1w, p2w = d * p1, d * p2
+            else:
+                p1w, p2w = p1, p2
+            if use_fh:
+                fm = jnp.where(mask_all, f, INF) if fh_restrict else f
+                msgs.append(_fh_msg(fm, mk, p1w, p2w))
+            else:
+                msgs.append(_sgm_msg(f, mk, p1w, p2w))
+
+        news = []
+        sums = [None] * Mp
+        for m, (plane_i, ranks, border) in enumerate(mspecs):
+            if mgm == 2 and not use_weights and not use_fh:
+                e = msgs[ranks[0]][m] * 0.5 + msgs[ranks[1]][m] * 0.5
+            else:
+                e = msgs[ranks[0]][m]
+                for k in range(1, mgm):
+                    e = e + msgs[ranks[k]][m]
+                if mgm > 1:
+                    e = e / float(mgm)
+            need_l, need_r, need_t, need_b = border
+            col = cols[plane_i]
+            interior = (col >= (1 if need_l else 0)) & (col < C)
+            if need_r:
+                interior &= col <= C - 2
+            if need_t:
+                interior &= row_im >= 1
+            if need_b:
+                interior &= row_im <= R_eff - 2
+            else:
+                interior &= row_im < R_eff
+            new_m = jnp.where(interior, cc[plane_i] + e, cc[plane_i])
+            news.append(new_m)
+            sums[plane_i] = (new_m if sums[plane_i] is None
+                             else sums[plane_i] + new_m)
+        for i, (phase, lo, hi, A0, ssgn, fold, parf) in enumerate(planes):
+            o = sums[i] if sums[i] is not None else jnp.zeros_like(cc[i])
+            if fold:
+                o = o + kappa * cc[i]
+            if accumulate:
+                o = acc_ref[i, u] + o
+            out_ref[i, u] = o
+        new = jnp.stack(news)
+        new_min = jnp.min(new, axis=-2)
+        ship_f[u] = new[:, :, ship_lane]
+        hist = [(new, new_min)] + hist[:-1]
+
+    for k in range(D):
+        hist_out[k] = hist[k][0]
+        mins_out[k] = hist[k][1]
+
+
+def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
+                halo_f, acc_blk, *, planes, mspecs, combos, C,
+                R_eff, L, G, slope, p1, p2, mgm, mode, nch, tmax, use_fh,
+                use_weights, kappa, reverse, per_pixel, fh_restrict,
+                ship_lane, inject_lane, RPg, interpret=False):
+    """pallas_call wrapper for one sharded-pipeline block (grid-less).
+    Returns (out_blk, hist', mins', ship_f)."""
+    Mp, Cch, _, Rl = U_blk.shape
+    D = max(c[0] for c in combos)
+    Ml = len(mspecs)
+    kernel = functools.partial(
+        _block_kernel, planes=tuple(planes), mspecs=tuple(mspecs),
+        combos=tuple(combos), C=C, R_eff=R_eff, L=L, G=G, D=D, slope=slope,
+        p1=float(p1), p2=float(p2), mgm=mgm, mode=mode, nch=nch,
+        tmax=float(tmax), use_fh=use_fh, use_weights=use_weights,
+        kappa=float(kappa), reverse=reverse, accumulate=acc_blk is not None,
+        per_pixel=per_pixel, fh_restrict=fh_restrict, ship_lane=ship_lane,
+        inject_lane=inject_lane, RPg=RPg)
+    args = [scal, U_blk, v_slab]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if use_weights:
+        args.append(W_blk)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if per_pixel:
+        args += [lo_blk, hi_blk]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    args += [hist, mins, halo_f]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    aliases = {}
+    if acc_blk is not None:
+        aliases = {len(args): 0}
+        args.append(acc_blk)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    out_shape = [
+        jax.ShapeDtypeStruct((Mp, G, L, Rl), jnp.float32),
+        jax.ShapeDtypeStruct(hist.shape, jnp.float32),
+        jax.ShapeDtypeStruct(mins.shape, jnp.float32),
+        jax.ShapeDtypeStruct((G, Ml, L), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
 
 
 def _u1(u_t, c):
@@ -311,34 +561,62 @@ def _cost_front(u_t, v_win, mode, nch):
     return acc
 
 
+def _delta_roll(dy: int, par: int) -> int:
+    """Packed-parity lane roll for a dep with row offset `dy` consumed
+    at a front whose live row parity is `par`: lane rho holds row
+    2*rho + par, the dep's front has parity par ^ (dy & 1), and the
+    half-row index shift follows.  dy == 0 keeps the lane."""
+    if dy == 0:
+        return 0
+    return (dy - 1 + 2 * par) // 2
+
+
 def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
             p1, p2, mgm, mode, nch, tmax, use_fh, use_weights, kappa,
-            reverse, accumulate, NB, per_pixel=False, fh_restrict=False):
+            reverse, accumulate, NB, per_pixel=False, fh_restrict=False,
+            parity=False):
     """One grid step = G consecutive wavefronts for every pass x side in
     the launch.
 
-    planes: per-plane static tuples (phase, lo, hi, A0, ssgn, fold)
-      where the canonical column of (front t, row r) is
+    planes: per-plane static tuples (phase, lo, hi, A0, ssgn, fold,
+      parf) where the canonical column of (front t, row r) is
       col = t - A0 + ssgn*slope*r (A: A0=0, ssgn=-1; B: A0=slope*(Rp-1),
       ssgn=+1), [lo, hi] the label window, phase = gmin of the side, and
       fold marks the plane that accumulates kappa * CC.
+      PARITY launches (spaces PA/PB, the slope-1/2 wavefronts t = 2c+r /
+      t = 2c+(R-1-r) that schedule the mgm=4 passes 2/3/5/7,
+      mgm_core.cc:463-471) use a PACKED layout: lane rho holds image row
+      2*rho + par with par = (t&1) ^ parf (PA parf=0, PB parf=1), every
+      cell is live, and col = t//2 - A0 + ssgn*rho (A0: PA 0,
+      PB R2-1).  Labels step the front by 2, so the v windows live in
+      two per-front-parity rings fed from half-row skews.
     mspecs: per-recursion static tuples (plane, ranks, border) with
       ranks = per-coupled-dir indices into `combos` and border =
       (need_left, need_right, need_top, need_bottom) over the pass's
       full 4-neighbour set (mgm_core.cc:538-541).
-    combos: distinct (front lag, lane roll) pairs used by this launch.
+    combos: distinct (front lag, lane roll) pairs used by this launch;
+      parity launches use (front lag, dy, parf) triples — the lane roll
+      depends on the front parity and is derived per front.
     reverse: walk fronts from high t to low (backward scan).
     accumulate: an aliased input carries the forward launch's output;
       this launch adds onto it.
     """
     it = iter(refs)
     u_ref = next(it)
-    v_hbm = next(it)
+    if parity:
+        v_hbm_e, v_hbm_o = next(it), next(it)
+    else:
+        v_hbm = next(it)
     w_ref = next(it) if use_weights else None
     lo_ref = next(it) if per_pixel else None
     hi_ref = next(it) if per_pixel else None
-    acc_ref = next(it) if accumulate else None
-    out_ref, ring_ref, hist_ref, mins_ref, sem0, sem1 = it
+    if accumulate:
+        acc_refs = (next(it), next(it)) if parity else (next(it),)
+    if parity:
+        out_e, out_o, ring_e, ring_o, hist_ref, mins_ref, \
+            sem0, sem1, sem2, sem3 = it
+    else:
+        out_ref, ring_ref, hist_ref, mins_ref, sem0, sem1 = it
 
     Mp = u_ref.shape[0]
     Ml = len(mspecs)
@@ -354,41 +632,81 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
     # Column x lives at slot (x - DELTA) mod SLAB, DELTA chosen so the
     # first step's window starts at slot 0 (forward: DELTA = 0;
     # reverse: first t0 = Tp - G need not be a multiple of SLAB).
-    DELTA = 0 if not reverse else ((NB - 1) * G) % SLAB
+    # Parity launches keep TWO rings (front-parity even/odd), each
+    # advancing G/2 half-slots per step.
+    GH = G // 2
+    DELTA = 0 if not reverse else ((NB - 1) * (GH if parity else G)) % SLAB
 
     def slot(x):
         return pl.multiple_of(jax.lax.rem(x - DELTA + SLAB, SLAB), 8)
 
-    base = slot(t0)
+    if parity:
+        th0 = blk * GH
+        base = slot(th0)
+        rings = ((ring_e, v_hbm_e, sem0, sem1), (ring_o, v_hbm_o, sem2,
+                                                 sem3))
 
-    @pl.when(step == 0)
-    def _init():
-        cp0 = pltpu.make_async_copy(
-            v_hbm.at[:, :, pl.ds(t0, SLAB), :],
-            ring_ref.at[:, :, pl.ds(0, SLAB), :], sem0)
-        cp1 = pltpu.make_async_copy(
-            v_hbm.at[:, :, pl.ds(t0, SLAB), :],
-            ring_ref.at[:, :, pl.ds(SLAB, SLAB), :], sem1)
-        cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
+        @pl.when(step == 0)
+        def _init():
+            for ring, v_hbm_p, s0, s1 in rings:
+                cp0 = pltpu.make_async_copy(
+                    v_hbm_p.at[:, :, pl.ds(th0, SLAB), :],
+                    ring.at[:, :, pl.ds(0, SLAB), :], s0)
+                cp1 = pltpu.make_async_copy(
+                    v_hbm_p.at[:, :, pl.ds(th0, SLAB), :],
+                    ring.at[:, :, pl.ds(SLAB, SLAB), :], s1)
+                cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
 
-    @pl.when(step != 0)
-    def _advance():
-        if reverse:
-            src = pl.ds(pl.multiple_of(t0, 8), G)      # new LOW columns
-            wq = slot(t0)
-        else:
-            src = pl.ds(pl.multiple_of(t0 + SLAB - G, 8), G)
-            wq = slot(t0 + SLAB - G)
-        cp0 = pltpu.make_async_copy(
-            v_hbm.at[:, :, src, :], ring_ref.at[:, :, pl.ds(wq, G), :],
-            sem0)
-        cp1 = pltpu.make_async_copy(
-            v_hbm.at[:, :, src, :],
-            ring_ref.at[:, :, pl.ds(wq + SLAB, G), :], sem1)
-        cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
+        @pl.when(step != 0)
+        def _advance():
+            if reverse:
+                src = pl.ds(pl.multiple_of(th0, 8), GH)
+                wq = slot(th0)
+            else:
+                src = pl.ds(pl.multiple_of(th0 + SLAB - GH, 8), GH)
+                wq = slot(th0 + SLAB - GH)
+            for ring, v_hbm_p, s0, s1 in rings:
+                cp0 = pltpu.make_async_copy(
+                    v_hbm_p.at[:, :, src, :], ring.at[:, :, pl.ds(wq, GH), :],
+                    s0)
+                cp1 = pltpu.make_async_copy(
+                    v_hbm_p.at[:, :, src, :],
+                    ring.at[:, :, pl.ds(wq + SLAB, GH), :], s1)
+                cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
 
-    # one aligned load per step; per-front windows are static slices
-    v_step = ring_ref[:, :, pl.ds(base, G + L - 1), :]
+        v_steps = (ring_e[:, :, pl.ds(base, GH + L - 1), :],
+                   ring_o[:, :, pl.ds(base, GH + L - 1), :])
+    else:
+        base = slot(t0)
+
+        @pl.when(step == 0)
+        def _init():
+            cp0 = pltpu.make_async_copy(
+                v_hbm.at[:, :, pl.ds(t0, SLAB), :],
+                ring_ref.at[:, :, pl.ds(0, SLAB), :], sem0)
+            cp1 = pltpu.make_async_copy(
+                v_hbm.at[:, :, pl.ds(t0, SLAB), :],
+                ring_ref.at[:, :, pl.ds(SLAB, SLAB), :], sem1)
+            cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
+
+        @pl.when(step != 0)
+        def _advance():
+            if reverse:
+                src = pl.ds(pl.multiple_of(t0, 8), G)  # new LOW columns
+                wq = slot(t0)
+            else:
+                src = pl.ds(pl.multiple_of(t0 + SLAB - G, 8), G)
+                wq = slot(t0 + SLAB - G)
+            cp0 = pltpu.make_async_copy(
+                v_hbm.at[:, :, src, :], ring_ref.at[:, :, pl.ds(wq, G), :],
+                sem0)
+            cp1 = pltpu.make_async_copy(
+                v_hbm.at[:, :, src, :],
+                ring_ref.at[:, :, pl.ds(wq + SLAB, G), :], sem1)
+            cp0.start(); cp1.start(); cp0.wait(); cp1.wait()
+
+        # one aligned load per step; per-front windows are static slices
+        v_step = ring_ref[:, :, pl.ds(base, G + L - 1), :]
 
     hist = [(hist_ref[k], mins_ref[k]) for k in range(D)]
     Rp = u_ref.shape[-1]
@@ -398,15 +716,26 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
     us = range(G - 1, -1, -1) if reverse else range(G)
     for u in us:
         t = t0 + u
+        pi = u & 1  # front parity (t0 = blk*G is even: G is even)
         # ---- fused cost volume front, one per plane -----------------
         u_t = u_ref[:, :, u, :]                    # (Mp, Cch, R)
-        v_win = v_step[:, :, u:u + L, :]           # (Mp, Cch, L, R)
+        if parity:
+            v_win = v_steps[pi][:, :, (u >> 1):(u >> 1) + L, :]
+            th = t0 // 2 + (u >> 1)
+        else:
+            v_win = v_step[:, :, u:u + L, :]       # (Mp, Cch, L, R)
         raw = _cost_front(u_t, v_win, mode, nch)
         cc = []
         cols = []
+        rows_im = []
         wins = []
-        for i, (phase, lo, hi, A0, ssgn, fold) in enumerate(planes):
-            col = t - A0 + ssgn * slope * row      # image column (L, R)
+        for i, (phase, lo, hi, A0, ssgn, fold, parf) in enumerate(planes):
+            if parity:
+                col = th - A0 + ssgn * row         # packed: row = rho
+                row_im = 2 * row + (pi ^ parf)     # image row of lane
+            else:
+                col = t - A0 + ssgn * slope * row  # image column (L, R)
+                row_im = row
             e = jnp.minimum(raw[i], tmax)
             q = col + phase + lab                  # right-image column
             e = jnp.where((q >= 0) & (q < C), e, tmax)
@@ -420,9 +749,10 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
             anyfin = jnp.max(fin.astype(jnp.float32), axis=0, keepdims=True)
             e = jnp.where(anyfin > 0, e, 0.0)
             # outside the label window / image / padded lanes -> +inf
-            ok = in_win & (col >= 0) & (col < C) & (row < R_eff)
+            ok = in_win & (col >= 0) & (col < C) & (row_im < R_eff)
             cc.append(jnp.where(ok, e, INF))
             cols.append(col)
+            rows_im.append(row_im)
             wins.append(in_win)
 
         if fh_restrict:
@@ -432,9 +762,14 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
             # recursion's messages, so it batches over Ml like the rest
             mask_all = jnp.stack([wins[pi] for pi, _, _ in mspecs])
 
-        # ---- messages per (lag, roll) combo, batched over Ml --------
+        # ---- messages per combo, batched over Ml --------------------
         msgs = []
-        for ci, (lag, roll) in enumerate(combos):
+        for ci, combo in enumerate(combos):
+            if parity:
+                lag, dy, parf_c = combo
+                roll = -_delta_roll(dy, pi ^ parf_c)
+            else:
+                lag, roll = combo
             f, mn = hist[lag - 1]
             if roll:
                 f = _lane_roll(f, roll, INF)
@@ -454,7 +789,7 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
         # ---- per-recursion dir-order combine + border rule ----------
         news = []
         sums = [None] * Mp
-        for m, (pi, ranks, border) in enumerate(mspecs):
+        for m, (plane_i, ranks, border) in enumerate(mspecs):
             if mgm == 2 and not use_weights and not use_fh:
                 # update_cost2 halves each term (mgm_core.cc:83-84)
                 e = msgs[ranks[0]][m] * 0.5 + msgs[ranks[1]][m] * 0.5
@@ -465,26 +800,33 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
                 if mgm > 1:
                     e = e / float(mgm)
             need_l, need_r, need_t, need_b = border
-            col = cols[pi]
+            col = cols[plane_i]
+            row_im = rows_im[plane_i]
             interior = (col >= (1 if need_l else 0)) & (col < C)
             if need_r:
                 interior &= col <= C - 2
             if need_t:
-                interior &= row >= 1
+                interior &= row_im >= 1
             if need_b:
-                interior &= row <= R_eff - 2
+                interior &= row_im <= R_eff - 2
             else:
-                interior &= row < R_eff
-            new_m = jnp.where(interior, cc[pi] + e, cc[pi])
+                interior &= row_im < R_eff
+            new_m = jnp.where(interior, cc[plane_i] + e, cc[plane_i])
             news.append(new_m)
-            sums[pi] = new_m if sums[pi] is None else sums[pi] + new_m
-        for i, (phase, lo, hi, A0, ssgn, fold) in enumerate(planes):
+            sums[plane_i] = (new_m if sums[plane_i] is None
+                             else sums[plane_i] + new_m)
+        for i, (phase, lo, hi, A0, ssgn, fold, parf) in enumerate(planes):
             o = sums[i] if sums[i] is not None else jnp.zeros_like(cc[i])
             if fold:
                 o = o + kappa * cc[i]
-            if accumulate:
-                o = acc_ref[i, u] + o
-            out_ref[i, u] = o
+            if parity:
+                if accumulate:
+                    o = acc_refs[pi][i, u >> 1] + o
+                (out_e, out_o)[pi][i, u >> 1] = o
+            else:
+                if accumulate:
+                    o = acc_refs[0][i, u] + o
+                out_ref[i, u] = o
         new = jnp.stack(news)
         hist = [(new, jnp.min(new, axis=-2))] + hist[:-1]
 
@@ -496,27 +838,38 @@ def _kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, SLAB, slope,
 def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
                     L, G, slope, mgm, mode, nch, tmax, p1, p2, use_fh,
                     use_weights, kappa, reverse, lohi=None,
-                    fh_restrict=False, interpret=False):
+                    fh_restrict=False, parity=False, interpret=False):
     """Run one scan direction of the fused recursion.
 
     U: (Mp, Cch, Tp, Rp) skewed left images (Tp a multiple of G), one
-      per (side, space) plane.
-    V: (Mp, Cch, Tp + SLAB, Rp) skewed phase-shifted right images (HBM).
+      per (side, space) plane.  Parity launches use the PACKED layout:
+      lanes are half-rows (Rp = R2) and fronts interleave row parities.
+    V: (Mp, Cch, Tp + SLAB, Rp) skewed phase-shifted right images (HBM);
+      parity launches pass a PAIR (V_even, V_odd) of half-front skews,
+      each (Mp, Cch, Tp//2 + SLAB, R2).
     W_sk: (Ml, n_combo, Tp, Rp) per-combo weights or None.
-    acc: (Mp, Tp, L, Rp) forward-launch output to accumulate onto
-      (aliased, donated), or None.
+    acc: forward-launch output to accumulate onto (aliased, donated),
+      or None: (Mp, Tp, L, Rp), parity: a pair of
+      (Mp, Tp//2, L, R2).
     lohi: (LO, HI) skewed (Mp, Tp, Rp) int32 per-pixel label windows, or
       None for the constant per-plane windows of `planes`.
     fh_restrict: restrict the FH min-conv input to the target pixel's
       window (needs lohi).
-    Returns (Mp, Tp, L, Rp) accumulated volumes.
+    Returns the (Mp, Tp, L, Rp) accumulated volumes; parity: the
+    (even, odd) pair of (Mp, Tp//2, L, R2) front-parity halves.
     """
     Mp, Cch, Tp, Rp = U.shape
     assert Tp % G == 0
     NB = Tp // G
-    D = max(lag for lag, roll in combos)
-    SLAB = -(-(G + L - 1) // 8) * 8
-    assert V.shape[2] >= Tp + SLAB - G
+    D = max(c[0] for c in combos)
+    if parity:
+        assert G % 2 == 0 and (G // 2) % 8 == 0, "parity needs G mult of 16"
+        GH = G // 2
+        SLAB = -(-(GH + L - 1) // 8) * 8
+        assert V[0].shape[2] >= Tp // 2 + SLAB - GH
+    else:
+        SLAB = -(-(G + L - 1) // 8) * 8
+        assert V.shape[2] >= Tp + SLAB - G
 
     kernel = functools.partial(
         _kernel, planes=tuple(planes), mspecs=tuple(mspecs),
@@ -525,7 +878,7 @@ def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
         nch=nch, tmax=float(tmax), use_fh=use_fh, use_weights=use_weights,
         kappa=float(kappa), reverse=reverse, accumulate=acc is not None,
         NB=NB, per_pixel=lohi is not None,
-        fh_restrict=fh_restrict and lohi is not None)
+        fh_restrict=fh_restrict and lohi is not None, parity=parity)
 
     Ml = len(mspecs)
     blk = ((lambda s: (0, NB - 1 - s, 0, 0)) if reverse
@@ -534,11 +887,21 @@ def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
             else (lambda s: (0, 0, s, 0)))
     blk2 = ((lambda s: (0, NB - 1 - s, 0)) if reverse
             else (lambda s: (0, s, 0)))
-    args = [U, V]
-    in_specs = [
-        pl.BlockSpec((Mp, Cch, G, Rp), blk3, memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
+    if parity:
+        args = [U, V[0], V[1]]
+        in_specs = [
+            pl.BlockSpec((Mp, Cch, G, Rp), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        vdtype = V[0].dtype
+    else:
+        args = [U, V]
+        in_specs = [
+            pl.BlockSpec((Mp, Cch, G, Rp), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        vdtype = V.dtype
     aliases = {}
     if use_weights:
         args.append(W_sk)
@@ -549,26 +912,40 @@ def fused_wavefront(U, V, W_sk, acc, *, planes, mspecs, combos, C, R_eff,
             args.append(a)
             in_specs.append(pl.BlockSpec((Mp, G, Rp), blk2,
                                          memory_space=pltpu.VMEM))
-    if acc is not None:
-        aliases = {len(args): 0}
-        args.append(acc)
-        in_specs.append(pl.BlockSpec((Mp, G, L, Rp), blk,
-                                     memory_space=pltpu.VMEM))
-    vdtype = V.dtype
+    if parity:
+        GH = G // 2
+        if acc is not None:
+            aliases = {len(args): 0, len(args) + 1: 1}
+            args.extend(acc)
+            in_specs.extend([pl.BlockSpec((Mp, GH, L, Rp), blk,
+                                          memory_space=pltpu.VMEM)] * 2)
+        out_specs = [pl.BlockSpec((Mp, GH, L, Rp), blk,
+                                  memory_space=pltpu.VMEM)] * 2
+        out_shape = [jax.ShapeDtypeStruct((Mp, Tp // 2, L, Rp),
+                                          jnp.float32)] * 2
+        ring_shapes = [pltpu.VMEM((Mp, Cch, 2 * SLAB, Rp), vdtype)] * 2
+        sems = [pltpu.SemaphoreType.DMA] * 4
+    else:
+        if acc is not None:
+            aliases = {len(args): 0}
+            args.append(acc)
+            in_specs.append(pl.BlockSpec((Mp, G, L, Rp), blk,
+                                         memory_space=pltpu.VMEM))
+        out_specs = pl.BlockSpec((Mp, G, L, Rp), blk,
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Mp, Tp, L, Rp), jnp.float32)
+        ring_shapes = [pltpu.VMEM((Mp, Cch, 2 * SLAB, Rp), vdtype)]
+        sems = [pltpu.SemaphoreType.DMA] * 2
     return pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Mp, G, L, Rp), blk,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Tp, L, Rp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((Mp, Cch, 2 * SLAB, Rp), vdtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=ring_shapes + [
             pltpu.VMEM((D, Ml, L, Rp), jnp.float32),
             pltpu.VMEM((D, Ml, Rp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        ] + sems,
         input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=Tp * Ml * L * Rp * (30 if not use_fh

@@ -1,0 +1,356 @@
+"""Row-sharded fused cost+wavefront pipeline (multi-chip Pallas).
+
+compute_disparity(mesh=...) previously dropped to the XLA lax.scan
+solver whenever a mesh was given, forfeiting the fused Pallas kernels'
+~10x single-chip speedup.  This module runs the SAME fused recursion
+(ops/pallas_fused.py semantics, mgm_core.cc:408-613 of gfacciol/mgm)
+inside shard_map:
+
+  - image rows are sharded over the 1-D mesh ("y"); every device holds
+    Rl rows (a multiple of 128 — the lane tiling), builds its local
+    slice of the GLOBALLY-skewed planes (the skew offset slope*r0
+    enters as a device-dependent dynamic shift), and steps the fused
+    block kernel (pallas_fused._block_kernel) over G-front blocks with
+    explicitly carried (hist, mins) state;
+  - scheduling: per (space, scan-direction) launch, device k processes
+    front-block sigma - stag(k) at superstep sigma, with stag = k when
+    the launch's lane rolls read the row ABOVE (information flows down
+    the mesh) and n-1-k when they read BELOW.  Adjacent devices are
+    exactly ONE block apart, and every cross-device dependency reaches
+    back at most D <= 3 < G fronts, so the upstream device's boundary
+    rows for a block are always shipped one superstep before they are
+    consumed — SURVEY.md 2.9's "device k starts its block as soon as
+    it receives the halo row of Lr L-vectors", at block granularity.
+    A launch never mixes roll directions: in the A/B skew spaces a
+    pass's lane-roll sign always agrees with its scan direction's
+    pipeline flow (the skew direction is what MAKES the deps causal).
+  - per superstep each device ppermutes the (G, Ml, L) boundary-row
+    messages it just computed into the downstream device's halo TRACK
+    (indexed by front).  The track carries the full Dvec state, so the
+    sharded run is BITWISE-equal to the single-device fused kernel
+    (cached minima are recomputed from the shipped rows; min is
+    order-independent).
+
+Wall-clock: supersteps = NB + n - 1 vs NB single-device, each doing
+1/n of a block -> parallel efficiency NB / (NB + n - 1) (~97% at
+fountain23 scale on 8 chips), with the same skew dead-cell overhead as
+one device.  Covers every config whose passes all fit the A/B skew
+spaces (ndir <= 4 at mgm <= 3, ndir <= 2 at mgm = 4 — including
+BASELINE cfg1); V/parity-space passes would need per-front bidirected
+halos and stay on the XLA mesh path for now.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import pallas_fused as pf
+from ..ops.fused import (PASS_TABLE, split_passes, _skew_rows, _col_window,
+                         _bt_aux)
+from ..ops.common import INF
+
+AXIS = "y"
+
+
+def sharded_eligible(ndir: int, mgm: int, distance: str) -> bool:
+    """True when every pass schedules into the A/B skew spaces (single
+    group, no leftover) — the sharded-fused coverage."""
+    if distance == "ncc":
+        return False
+    groups, leftover = split_passes(ndir, mgm)
+    return (not leftover and len(groups) == 1 and groups[0][0] > 0)
+
+
+def _local_skew(a, space: str, slope: int, t_len: int, fill, r0, Rl: int,
+                RPg: int):
+    """(..., Rl, W) local rows -> (..., Rl, t_len) slice of the GLOBAL
+    skew: cell (r_loc, c) lands at t = c + slope*(r0 + r_loc) (A) or
+    c + slope*(RPg - 1 - r0 - r_loc) (B).  Local pad/reshape skew plus
+    one device-dependent dynamic shift along t."""
+    if space == "B":
+        base = jnp.flip(_skew_rows(jnp.flip(a, -2), slope, t_len, fill), -2)
+        off = slope * (RPg - Rl - r0)
+    else:
+        base = _skew_rows(a, slope, t_len, fill)
+        off = slope * r0
+    maxoff = slope * RPg
+    pad = [(0, 0)] * (a.ndim - 1) + [(maxoff, 0)]
+    padded = jnp.pad(base, pad, constant_values=fill)
+    start = (0,) * (a.ndim - 1) + (maxoff - off,)
+    return jax.lax.dynamic_slice(padded, start, a.shape[:-1] + (t_len,))
+
+
+def _local_unskew(y, C: int, slope: int, off):
+    """(N, Rl, Tp, L) transposed launch output -> (N, Rl, C, L):
+    out[r, c] = y[r, c + off + slope*r] (off traced per device)."""
+    N, Rl, Tp, L = y.shape
+    flat = y.reshape(N, Rl * Tp, L)
+    flat = jnp.pad(flat, ((0, 0), (0, slope * Rl), (0, 0)))
+    z = flat.reshape(N, Rl, Tp + slope, L)
+    return jax.lax.dynamic_slice(z, (0, 0, off, 0), (N, Rl, C, L))
+
+
+def _launch_setup(passes, spaces_here, sides, mgm):
+    """Static (planes, mspecs, combos, down) for one (space, dir)
+    sub-launch; `down` = halo flows down the mesh (rolls read above)."""
+    combos, mspecs = [], []
+    rolls = set()
+    for pid, space, ranks, border in passes:
+        for c in ranks:
+            rolls.add(c[1])
+            if c not in combos:
+                combos.append(c)
+    for pid, space, ranks, border in passes:
+        for n in range(len(sides)):
+            mspecs.append((n, tuple(combos.index(c) for c in ranks),
+                           border))
+    rolls.discard(0)
+    assert rolls <= {1} or rolls <= {-1}, \
+        "A/B launches have single-signed lane rolls by construction"
+    down = 1 in rolls or not rolls
+    return combos, mspecs, down
+
+
+@partial(jax.jit, static_argnames=("mesh", "sides", "L", "ndir", "mgm",
+                                   "p1", "p2", "mode", "nch", "trunc_dist",
+                                   "use_fh", "use_weights", "fix_overcount",
+                                   "per_pixel", "h_real", "interpret"))
+def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
+                       sides, L: int, ndir: int, mgm: int, p1: float,
+                       p2: float, mode: str, nch: int, trunc_dist: float,
+                       use_fh: bool, use_weights: bool,
+                       fix_overcount: bool, per_pixel: bool,
+                       h_real: int, interpret: bool = False):
+    """The fused directional recursion, row-sharded: returns the
+    (N, Hp, W, L) sum of aggregated Lr volumes (with the kappa*CC
+    overcount term folded in when fix_overcount), sharded on rows.
+
+    u_p, v_p: (Hp, W, Cch) preprocessed images, Hp = n_dev * Rl with
+    Rl a multiple of 128 (stereo.compute_disparity pads); fake bottom
+    rows are inert (the kernel's R_eff masks reproduce the true-border
+    semantics, so real rows equal the single-device fused run bitwise).
+    """
+    n = mesh.devices.size
+    Hp, W, _ = u_p.shape
+    assert Hp % n == 0
+    Rl = Hp // n
+    RPg = Hp
+    C = W
+    N = len(sides)
+    tmax = trunc_dist * nch
+    kappa = -float(ndir - 1) if fix_overcount else 0.0
+
+    groups, leftover = split_passes(ndir, mgm)
+    assert not leftover and len(groups) == 1 and groups[0][0] > 0
+    slope, spaces, launches = groups[0]
+    # bigger blocks than the resident single-device kernel: every
+    # superstep pays XLA slab slicing + a kernel launch + a ppermute,
+    # so amortise over more fronts (the grid-less block kernel holds
+    # one block's working set at a time, so VMEM allows it)
+    G = int(os.environ.get("MGM_TPU_SFUSED_G", "32"))
+    T = C + slope * (RPg - 1) + 8
+    Tp = -(-T // G) * G
+    NB = Tp // G
+    SLABW = -(-(G + L - 1) // 8) * 8
+    A0 = {"A": 0, "B": slope * (RPg - 1)}
+    SS = {"A": -1, "B": 1}
+
+    if mode in ("btad", "btsd"):
+        u3 = jnp.concatenate([u_p, *_bt_aux(u_p)], -1)
+        v3 = jnp.concatenate([v_p, *_bt_aux(v_p)], -1)
+        lefts, rights = [u3, v3][:N], [v3, u3][:N]
+    else:
+        lefts, rights = [u_p, v_p][:N], [v_p, u_p][:N]
+    lefts = jnp.stack(lefts)     # (N, Hp, W, Cch)
+    rights = jnp.stack(rights)
+    int_img = jnp.issubdtype(lefts.dtype, jnp.integer)
+    ifill = 0 if int_img else 0.0
+
+    # per-(space, dir) sub-launches with static setups
+    subs = []
+    fold_space = None
+    for d, ms in launches:
+        for space in spaces:
+            passes = [m for m in ms if m[1] == space]
+            if not passes:
+                continue
+            combos, mspecs, down = _launch_setup(passes, spaces, sides, mgm)
+            if fold_space is None and kappa != 0.0:
+                fold_space = space
+            Dk = max(c[0] for cs in (combos,) for c in cs)
+            subs.append((space, d, tuple(p[0] for p in passes),
+                         tuple(combos), tuple(mspecs), down, Dk))
+
+    w_dummy = w8 if use_weights else jnp.zeros((N, Hp, W, 8), jnp.float32)
+    lo_d = lo_px if per_pixel else jnp.zeros((N, Hp, W), jnp.int32)
+    hi_d = hi_px if per_pixel else jnp.zeros((N, Hp, W), jnp.int32)
+    fh_restrict = (use_fh and per_pixel
+                   and not (mgm == 2 and not use_weights))
+
+    def body(lefts_l, rights_l, w_l, lo_l, hi_l):
+        k = jax.lax.axis_index(AXIS)
+        r0 = k * Rl
+
+        def skew_plane(space):
+            """Per-side skewed U, V(+phase), lo/hi for one space."""
+            us, vs, los, his = [], [], [], []
+            for ni, (gmin, lo, hi) in enumerate(sides):
+                u_c = jnp.moveaxis(lefts_l[ni], -1, 0)      # (Cch, Rl, W)
+                v_c = jnp.moveaxis(rights_l[ni], -1, 0)
+                us.append(_local_skew(u_c, space, slope, Tp, ifill, r0,
+                                      Rl, RPg))
+                v_sh = _col_window(v_c, gmin, Tp + SLABW, ifill)
+                vs.append(_local_skew(v_sh, space, slope, Tp + SLABW,
+                                      ifill, r0, Rl, RPg))
+                if per_pixel:
+                    los.append(_local_skew(lo_l[ni], space, slope, Tp, 0,
+                                           r0, Rl, RPg))
+                    his.append(_local_skew(hi_l[ni], space, slope, Tp,
+                                           L - 1, r0, Rl, RPg))
+            U = jnp.swapaxes(jnp.stack(us), -1, -2)   # (N, Cch, Tp, Rl)
+            V = jnp.swapaxes(jnp.stack(vs), -1, -2)
+            LOs = (jnp.swapaxes(jnp.stack(los), -1, -2) if per_pixel
+                   else None)
+            HIs = (jnp.swapaxes(jnp.stack(his), -1, -2) if per_pixel
+                   else None)
+            return U, V, LOs, HIs
+
+        def weights_skew(space, pids, combos, mspecs):
+            if not use_weights:
+                return None
+            w_sk = []
+            for m, (ni, ranks, border) in enumerate(mspecs):
+                pid = pids[m // N]
+                wch = PASS_TABLE[pid].wch
+                # rank r is dir index; combos[ranks[r]] is its combo
+                planes = []
+                for ci, c in enumerate(combos):
+                    if ci in ranks:
+                        wp = w_l[ni, :, :, wch[ranks.index(ci)]]
+                    else:
+                        wp = jnp.ones((Rl, W), jnp.float32)
+                    planes.append(_local_skew(wp, space, slope, Tp, 1.0,
+                                              r0, Rl, RPg))
+                w_sk.append(jnp.stack(planes))
+            return jnp.swapaxes(jnp.stack(w_sk), -1, -2)  # (Ml, nc, Tp, Rl)
+
+        space_arrays = {s: skew_plane(s) for s in spaces}
+        # one trailing trash block absorbs invalid-superstep writes
+        outs = {s: jnp.zeros((N, Tp + G, L, Rl), jnp.float32)
+                for s in spaces}
+
+        for space, d, pids, combos, mspecs, down, Dk in subs:
+            U, V, LOs, HIs = space_arrays[space]
+            Wk = weights_skew(space, pids, combos, mspecs)
+            reverse = d == "bwd"
+            accumulate = d == "bwd"  # fwd ran first into outs[space]
+            fold = (space == fold_space) and (d == "fwd")
+            planes = tuple(
+                (gmin, lo, hi, A0[space], SS[space], fold, 0)
+                for (gmin, lo, hi) in sides)
+            Ml = len(mspecs)
+            stag = k if down else (n - 1) - k
+            ship_lane = Rl - 1 if down else 0
+            inject_lane = 0 if down else Rl - 1
+            perm = ([(i, (i + 1) % n) for i in range(n)] if down
+                    else [(i, (i - 1) % n) for i in range(n)])
+            edge = 0 if down else n - 1
+
+            def step(carry, sigma, U=U, V=V, Wk=Wk, LOs=LOs, HIs=HIs,
+                     planes=planes, combos=combos, mspecs=mspecs,
+                     reverse=reverse, accumulate=accumulate, stag=stag,
+                     ship_lane=ship_lane, inject_lane=inject_lane,
+                     perm=perm, edge=edge, Ml=Ml):
+                out, hist, mins, track = carry
+                blk = sigma - stag
+                valid = (blk >= 0) & (blk < NB)
+                blkc = jnp.clip(blk, 0, NB - 1)
+                beff = (NB - 1 - blkc) if reverse else blkc
+                t0 = beff * G
+                scal = jnp.stack([t0, r0]).astype(jnp.int32)
+                U_blk = jax.lax.dynamic_slice_in_dim(U, t0, G, axis=2)
+                v_slab = jax.lax.dynamic_slice_in_dim(V, t0, SLABW, axis=2)
+                W_blk = (jax.lax.dynamic_slice_in_dim(Wk, t0, G, axis=2)
+                         if use_weights else None)
+                lo_blk = (jax.lax.dynamic_slice_in_dim(LOs, t0, G, axis=1)
+                          if per_pixel else None)
+                hi_blk = (jax.lax.dynamic_slice_in_dim(HIs, t0, G, axis=1)
+                          if per_pixel else None)
+                halo = jax.lax.dynamic_slice_in_dim(track, t0, G + 16,
+                                                    axis=0)
+                # fwd launches write every valid block exactly once:
+                # invalid steps go to the trash block at Tp instead of
+                # a read-modify-write (bwd needs the read anyway: it
+                # accumulates onto the forward output)
+                wpos = jnp.where(valid, t0, Tp)
+                out_cur = (jax.lax.dynamic_slice_in_dim(out, t0, G, axis=1)
+                           if accumulate else None)
+                ob, h2, m2, ship = pf.fused_block(
+                    scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
+                    halo, out_cur if accumulate else None,
+                    planes=planes, mspecs=mspecs, combos=combos, C=C,
+                    R_eff=h_real, L=L, G=G, slope=slope, p1=p1, p2=p2,
+                    mgm=mgm, mode=mode, nch=nch, tmax=tmax, use_fh=use_fh,
+                    use_weights=use_weights, kappa=kappa, reverse=reverse,
+                    per_pixel=per_pixel, fh_restrict=fh_restrict,
+                    ship_lane=ship_lane, inject_lane=inject_lane, RPg=RPg,
+                    interpret=interpret)
+                if accumulate:
+                    ob = jnp.where(valid, ob, out_cur)
+                    wpos = t0
+                hist = jnp.where(valid, h2, hist)
+                mins = jnp.where(valid, m2, mins)
+                out = jax.lax.dynamic_update_slice_in_dim(out, ob, wpos,
+                                                          axis=1)
+                ship = jnp.where(valid, ship, INF)
+                recv = jax.lax.ppermute(ship, AXIS, perm)
+                recv = jnp.where(jnp.equal(k, edge), INF, recv)
+                nb = blk + 1
+                nvalid = (nb >= 0) & (nb < NB)
+                nbc = jnp.clip(nb, 0, NB - 1)
+                nbeff = (NB - 1 - nbc) if reverse else nbc
+                pos = nbeff * G + 8
+                cur = jax.lax.dynamic_slice_in_dim(track, pos, G, axis=0)
+                track = jax.lax.dynamic_update_slice_in_dim(
+                    track, jnp.where(nvalid, recv, cur), pos, axis=0)
+                return (out, hist, mins, track), None
+
+            init = (outs[space],
+                    jnp.full((Dk, Ml, L, Rl), INF, jnp.float32),
+                    jnp.full((Dk, Ml, Rl), INF, jnp.float32),
+                    jnp.full((Tp + 16, Ml, L), INF, jnp.float32))
+            (o, _, _, _), _ = jax.lax.scan(
+                step, init, jnp.arange(NB + n - 1, dtype=jnp.int32))
+            outs[space] = o
+
+        # local unskew + cross-space sum -> (N, Rl, C, L)
+        total = None
+        for space in spaces:
+            y = jnp.transpose(outs[space][:, :Tp], (0, 3, 1, 2))
+            if space == "B":
+                y = jnp.flip(y, 1)
+                off = slope * (RPg - Rl - r0)
+            else:
+                off = slope * r0
+            vol = _local_unskew(y, C, slope, off)
+            if space == "B":
+                vol = jnp.flip(vol, 1)
+            total = vol if total is None else total + vol
+        return total
+
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, AXIS, None, None), P(None, AXIS, None, None),
+                  P(None, AXIS, None, None), P(None, AXIS, None),
+                  P(None, AXIS, None)),
+        out_specs=P(None, AXIS, None, None),
+        check_rep=False)
+    lefts = jax.lax.with_sharding_constraint(lefts, sh(None, AXIS))
+    rights = jax.lax.with_sharding_constraint(rights, sh(None, AXIS))
+    return fn(lefts, rights, w_dummy, lo_d, hi_d)

@@ -255,7 +255,25 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     if v.dtype != np.uint8:
         v = np.asarray(v, np.float32)
     H, W, C = u.shape
-    hpad = (-H) % int(mesh.devices.size) if mesh is not None else 0
+    # sharded-fused eligibility: the mesh path keeps the fused Pallas
+    # kernels (parallel/fused_shard.py) whenever every pass fits the
+    # A/B skew spaces; otherwise it falls back to the XLA scan solver.
+    sfused = None
+    if mesh is not None:
+        from .parallel.fused_shard import sharded_eligible
+
+        sfused = _fused_backend(cfg, dmin_img is not None)
+        if sfused and not sharded_eligible(cfg.ndir, cfg.mgm,
+                                           cfg.distance):
+            sfused = None
+    if sfused:
+        # the sharded kernels put local rows in VECTOR LANES: every
+        # device needs a multiple of 128 rows
+        n_dev = int(mesh.devices.size)
+        rl = -(-max(-(-H // n_dev), 128) // 128) * 128
+        hpad = n_dev * rl - H
+    else:
+        hpad = (-H) % int(mesh.devices.size) if mesh is not None else 0
     Hs = H + hpad  # row extent of every sharded array
 
     # per-pixel disparity windows (mgm.cc:338-353)
@@ -342,7 +360,11 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
 
     fused = _fused_backend(cfg, per_pixel) if mesh is None else None
     backend = "auto"
-    u_dev, v_dev = jnp.asarray(_u8_lossless(u)), jnp.asarray(_u8_lossless(v))
+    if mesh is None:
+        u_dev = jnp.asarray(_u8_lossless(u))
+        v_dev = jnp.asarray(_u8_lossless(v))
+    else:
+        u_dev, v_dev = _u8_lossless(u), _u8_lossless(v)  # _shard uploads
     if mesh is not None:
         # row-shard the pipeline: images arrive replicated (prefilters
         # and weights read row neighbourhoods at the true boundary),
@@ -354,7 +376,12 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         backend = "xla"
-        _win()
+        # the sharded-fused path computes costs in-flight and defers
+        # the window arrays entirely unless something consumes them
+        # (each uploaded array costs a host->device round-trip)
+        if (not sfused or per_pixel or cfg.refinement != "none"
+                or cfg.iterations > 1 or cfg.debug):
+            _win()
 
         def _shard(a, *spec):
             host = np.asarray(a)
@@ -364,20 +391,31 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
 
         u_dev = _shard(u_dev)   # replicated; sharded after padding
         v_dev = _shard(v_dev)
-        lo_idx = _shard(lo_idx, None, "y", None)
-        hi_idx = _shard(hi_idx, None, "y", None)
-        flo_j = _shard(flo_j, None, "y", None)
-        fhi_j = _shard(fhi_j, None, "y", None)
-        gmin_j = _shard(gmin_j)
+        if lo_idx is not None:
+            lo_idx = _shard(lo_idx, None, "y", None)
+            hi_idx = _shard(hi_idx, None, "y", None)
+            flo_j = _shard(flo_j, None, "y", None)
+            fhi_j = _shard(fhi_j, None, "y", None)
+            gmin_j = _shard(gmin_j)
     _mark("host prep", prof, (u_dev, v_dev))
     cc = None
     if mesh is not None:
         u_p, v_p, w8, u_j, v_j = _prep_mesh(
             u_dev, v_dev, cfg=cfg, n_sides=n_sides, hpad=hpad, mesh=mesh)
-        cc = _volumes_from_prep(u_p, v_p, lo_idx, hi_idx, cfg=cfg,
-                                L=int(L),
-                                gmins=tuple(int(g) for g in gmin),
-                                n_sides=n_sides)
+        if sfused:
+            # no cost volume: the sharded fused kernels compute it
+            # in-flight, like the single-device fused path
+            if per_pixel:
+                sides = tuple((int(gmin[n]), 0, int(L) - 1)
+                              for n in range(n_sides))
+            else:
+                sides = tuple((int(gmin[n]), int(los[n]), int(his[n]))
+                              for n in range(n_sides))
+        else:
+            cc = _volumes_from_prep(u_p, v_p, lo_idx, hi_idx, cfg=cfg,
+                                    L=int(L),
+                                    gmins=tuple(int(g) for g in gmin),
+                                    n_sides=n_sides)
     elif fused:
         u_p, v_p, w8, u_j, v_j = _prep_fused(
             u_dev, v_dev, cfg=cfg, n_sides=n_sides)
@@ -405,7 +443,26 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     s_lo, s_hi = lo_idx, hi_idx
     disp = cost = None
     for it in range(cfg.iterations):
-        if fused:
+        if sfused:
+            from .ops.fused import assemble_swta
+            from .parallel.fused_shard import sharded_fused_lsum
+
+            lsum = sharded_fused_lsum(
+                u_p, v_p, w8 if use_weights else None,
+                lo_idx if per_pixel else None,
+                hi_idx if per_pixel else None,
+                mesh=mesh, sides=sides, L=int(L), ndir=cfg.ndir,
+                mgm=cfg.mgm, p1=p1, p2=p2, mode=cfg.distance,
+                nch=int(u_p.shape[2]), trunc_dist=cfg.trunc_dist,
+                use_fh=cfg.use_trunc_linear, use_weights=use_weights,
+                fix_overcount=cfg.fix_overcount, per_pixel=per_pixel,
+                h_real=H, interpret=(sfused == "interpret"))
+            S, disp, cost = assemble_swta(
+                lsum, s_lo, s_hi, sides=sides, L=int(L), ndir=cfg.ndir,
+                fix_overcount=cfg.fix_overcount,
+                lo_px=lo_idx if per_pixel else None,
+                hi_px=hi_idx if per_pixel else None)
+        elif fused:
             S, disp, cost = mgm_solve_fused(
                 u_p, v_p, w8 if use_weights else None, s_lo, s_hi,
                 sides=sides, L=int(L), ndir=cfg.ndir, mgm=cfg.mgm,
@@ -431,7 +488,8 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 cc0 = build_cost_volume(
                     u_p, v_p, lo_idx[0], hi_idx[0], int(gmin[0]),
                     distance=cfg.distance, L=int(L),
-                    trunc_dist=cfg.trunc_dist, ncc_win=cfg.census_ncc_win)
+                    trunc_dist=cfg.trunc_dist, ncc_win=cfg.census_ncc_win,
+                    backend="xla" if mesh is not None else "auto")
             else:
                 cc0 = cc[0]
             print_solution_energy(disp[0], cc0, lo_idx[0], hi_idx[0],

@@ -7,10 +7,24 @@ mode on CPU.  Disparity mismatches are accepted only at exact argmin
 ties (the overcount fold changes float association by one step).
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
 from mgm_tpu.ops.fused import mgm_solve_fused, fused_spec, split_passes
+
+_N_RUN = [0]
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    """This module compiles dozens of big interpret-mode programs; the
+    XLA CPU compiler has segfaulted under the accumulated live-
+    executable state (see conftest), so drop it every few tests."""
+    yield
+    _N_RUN[0] += 1
+    if _N_RUN[0] % 6 == 0:
+        jax.clear_caches()
 from mgm_tpu.ops.cost import build_cost_volume
 from mgm_tpu.solver import mgm_solve
 
@@ -91,6 +105,16 @@ CASES = [
     dict(ndir=4, mgm=2, trunc_dist=20.0),
     dict(ndir=4, mgm=2, dmin=-40, dmax=26),   # window wider than image
     dict(ndir=4, mgm=2, fix_overcount=False),
+    # packed parity spaces (mgm=4 passes 2/3/5/7)
+    dict(ndir=4, mgm=4),
+    dict(ndir=4, mgm=4, use_weights=True),
+    dict(ndir=8, mgm=4, use_fh=True, p1=2.0, p2=50.0),
+    dict(ndir=8, mgm=4, use_weights=True, use_fh=True),
+    dict(ndir=4, mgm=4, mode="census", C=1),
+    dict(ndir=4, mgm=4, mode="btad"),
+    dict(ndir=4, mgm=4, H=17, W=23, test_lr=False),
+    dict(ndir=4, mgm=4, fix_overcount=False),
+    dict(ndir=4, mgm=4, dmin=-40, dmax=26),
 ]
 
 
@@ -114,6 +138,10 @@ WTA_CASES = [
     dict(ndir=8, mgm=3),                      # A+B+V, three-space sum
     dict(ndir=8, mgm=2, use_fh=True, p1=2.0, p2=50.0),
     dict(ndir=8, mgm=1),                      # slope-1 A+B, all 8 passes
+    dict(ndir=4, mgm=4),                      # A + parity PB
+    dict(ndir=8, mgm=4),                      # A+B + parity PA+PB
+    dict(ndir=8, mgm=4, use_weights=True),
+    dict(ndir=8, mgm=4, use_fh=True, p1=2.0, p2=50.0),
 ]
 
 
@@ -174,12 +202,12 @@ def test_fused_wta_fast_path(rng, case):
 
 def test_fused_table():
     """Bidirectional space-assignment coverage per the pass dependency
-    sets (mgm_core.cc:463-471): with the slope-0 column-front space V,
-    every 8-dir pass fuses at mgm <= 3; at mgm = 4 the passes with a
-    vertical 4th dep (2, 3, 5, 7) fall back."""
+    sets (mgm_core.cc:463-471): with the slope-0 column-front space V
+    and the packed parity spaces PA/PB, every 8-dir pass fuses at every
+    mgm; only knight passes fall back."""
     for mgm in (1, 2, 3, 4):
         ok = {p for p in range(8) if fused_spec(p, mgm) is not None}
-        assert ok == (set(range(8)) if mgm <= 3 else {0, 1, 4, 6})
+        assert ok == set(range(8))
     # knight passes never fuse
     assert fused_spec(8, 1) is None
     groups, leftover = split_passes(8, 2)
@@ -192,10 +220,17 @@ def test_fused_table():
     groups1, leftover1 = split_passes(8, 1)
     assert leftover1 == [] and len(groups1) == 1 and groups1[0][0] == 1
     assert sum(len(ms) for _, ms in groups1[0][2]) == 8
-    # mgm=4: no V group (passes 5, 7 gain a vertical dep), leftover 4
+    # mgm=4: passes 2,3,5,7 (vertical 4th dep) go to the parity group
     groups4, leftover4 = split_passes(8, 4)
-    assert sorted(leftover4) == [2, 3, 5, 7]
-    assert len(groups4) == 1 and groups4[0][0] == 2
+    assert leftover4 == []
+    assert [g[0] for g in groups4] == [2, -1]
+    pg = groups4[1]
+    assert pg[1] == ["PA", "PB"]
+    assert {p for _, ms in pg[2] for p, *_ in ms} == {2, 3, 5, 7}
+    # ndir=4, mgm=4 (the reference's DEFAULT config): A + PB only
+    groups44, leftover44 = split_passes(4, 4)
+    assert leftover44 == []
+    assert [(g[0], g[1]) for g in groups44] == [(2, ["A"]), (-1, ["PB"])]
 
 
 def test_fused_pipeline_deferred_windows_uint8(rng, monkeypatch):
@@ -251,6 +286,10 @@ def test_fused_per_pixel_windows(rng, monkeypatch):
                   p2=20000, refinement="vfit", test_lr=True),
         MGMConfig(dmin=-20, dmax=6, ndir=4, mgm=4, distance="ad",
                   test_lr=True),
+        # mgm=4 parity spaces with the in-kernel fh_restrict
+        MGMConfig(dmin=-20, dmax=6, ndir=8, mgm=4, distance="census",
+                  prefilter="census", use_trunc_linear=True, p1=2,
+                  p2=20000, refinement="vfit", test_lr=True),
     ]
     for cfg in cases:
         monkeypatch.setenv("MGM_TPU_FUSED", "0")

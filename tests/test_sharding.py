@@ -138,6 +138,47 @@ def test_halo_aggregate_weighted_fh(rng):
                                atol=1e-3, rtol=1e-6)
 
 
+def test_sharded_fused_pipeline(rng, monkeypatch):
+    """compute_disparity(mesh=...) with the fused kernels
+    (parallel/fused_shard.py: staggered block pipeline + ppermuted
+    boundary-row tracks) must be BITWISE-equal to the single-device
+    fused path, across mesh sizes, weights/census/FH, per-pixel
+    windows and ragged row counts."""
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.stereo import compute_disparity
+
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    H, W = 21, 30
+    u = rng.uniform(0, 50, (H, W, 1)).astype(np.float32)
+    v = (np.roll(u, 3, axis=1)
+         + rng.normal(0, 1, (H, W, 1)).astype(np.float32))
+    cases = [
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=2, refinement="vfit",
+                      median_radius=1, test_lr=True), None),
+        (4, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=3, a_p2=0.5,
+                      test_lr=True), None),
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=3, distance="census",
+                      prefilter="census", use_trunc_linear=True, p1=2,
+                      p2=100, test_lr=True), None),
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=2, test_lr=True),
+         "pp"),
+    ]
+    for n_dev, cfg, pp in cases:
+        kw = {}
+        if pp:
+            dmin_img = (cfg.dmin + 3 * rng.random((H, W))) \
+                .astype(np.float32)
+            kw = dict(dmin_img=dmin_img, dmax_img=dmin_img + 5)
+        ref = compute_disparity(u, v, cfg, **kw)
+        out = compute_disparity(u, v, cfg, mesh=make_mesh(n_dev), **kw)
+        # the eligibility gate must have taken the fused branch
+        from mgm_tpu.parallel.fused_shard import sharded_eligible
+        assert sharded_eligible(cfg.ndir, cfg.mgm, cfg.distance)
+        for k in ref:
+            np.testing.assert_array_equal(ref[k], out[k],
+                                          err_msg=f"{n_dev}dev {k}")
+
+
 def test_pipeline_mesh_ragged_rows(rng):
     """Full compute_disparity pipeline on an H that does NOT divide the
     mesh size: fake bottom rows are appended after the boundary-
