@@ -449,6 +449,13 @@ def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
         outs.append((raw, slope_g, spaces_g))
     if not assemble:
         return outs
+    return assemble_groups(outs, N=N, C=C, R=R, interpret=interpret)
+
+
+def assemble_groups(outs, *, N, C, R, interpret=False):
+    """Unskew every group's raw planes and return the (N, H, W, L)
+    per-side sum (the materialised-volume assembly; the fused
+    unskew+WTA path in mgm_solve_fused skips this entirely)."""
     total = None
     for raw, slope_g, spaces_g in outs:
         if slope_g == P_SLOPE:
@@ -537,9 +544,15 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             R=H, mgm=mgm, p1=p1, p2=p2, mode=mode, nch=nch,
             tmax=tmax, use_fh=use_fh, use_weights=use_weights,
             kappa=kappa, interpret=interpret, assemble=False)
-        disp, cost = pf.unskew_wta_planes(group_outs, W, H, sides,
-                                          interpret)
-        return None, disp, cost
+        if pf.wta_vmem_bytes(group_outs, N) <= int(0.85 * pf.VMEM_LIMIT):
+            disp, cost = pf.unskew_wta_planes(group_outs, W, H, sides,
+                                              interpret)
+            return None, disp, cost
+        # geometry too large for the one-call WTA: materialised assembly
+        lsum = assemble_groups(group_outs, N=N, C=W, R=H,
+                               interpret=interpret)
+        return assemble_swta(lsum, s_lo, s_hi, sides=sides, L=L,
+                             ndir=ndir, fix_overcount=fix_overcount)
 
     # The WTA overcount fold S[o] += kappa*CC[o] (mgm_core.cc:596-599)
     # goes through the dense leftover volume when one exists: folding it

@@ -155,7 +155,7 @@ def unskew_planes(y, C: int, R: int, slope: int, spaces,
     return out[:, :R]
 
 
-def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, sides, have):
+def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, LB, sides, have):
     """Fused unskew + cross-space sum + WTA for one row group.
 
     Replaces unskew -> space-sum -> S-window -> argmin/min
@@ -170,12 +170,23 @@ def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, sides, have):
     the label (lane) axis.  Ties pick the lowest label, as jnp.argmin
     does; an all-invalid window yields idx 0 and +inf cost exactly like
     the dense path.
+
+    The label axis is processed in LB-lane blocks (grid dim 1, minor):
+    each step reduces its block and folds the (cost, disp) partials
+    into the resident output block with a strictly-less rule — earlier
+    blocks hold lower labels, so ties keep the lowest label exactly as
+    the single-block reduction did.  This bounds the per-step VMEM by
+    LB lanes instead of the full padded L (mgm=4 configs, whose AB +
+    parity groups all feed one call, exceeded the 100 MB scoped-VMEM
+    budget at L=151 -> 256 padded lanes).
     """
     n_in = sum(2 if sp in ("PA", "PB") else 1 for sp in have)
     in_refs = refs[:n_in]
     d_ref, c_ref = refs[n_in:]
     k = pl.program_id(0)
-    lab = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    lb = pl.program_id(1)
+    first = lb == 0
+    lab = lb * LB + jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
     A0B = slope * (RP - 1)
     A0P = R2 - 1  # parity halves' (possibly 128-padded) half-row extent
 
@@ -209,6 +220,7 @@ def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, sides, have):
         return buf[res:res + C, :]
 
     Cp = d_ref.shape[2]
+    one_block = (LB >= L)
     for n, (gmin, lo, hi) in enumerate(sides):
         in_win = (lab >= lo) & (lab <= hi)
         for j in range(rpb):
@@ -226,8 +238,39 @@ def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, sides, have):
             if Cp != C:
                 cost = jnp.pad(cost, ((0, Cp - C), (0, 0)))
                 idx = jnp.pad(idx, ((0, Cp - C), (0, 0)))
-            d_ref[n, 0, :, pl.ds(j, 1)] = (gmin + idx).astype(jnp.float32)
-            c_ref[n, 0, :, pl.ds(j, 1)] = cost
+            new_d = (gmin + idx).astype(jnp.float32)
+            if one_block:
+                d_ref[n, 0, :, pl.ds(j, 1)] = new_d
+                c_ref[n, 0, :, pl.ds(j, 1)] = cost
+            else:
+                # fold this label block's partials into the resident
+                # output block (uninitialised at lb == 0 -> `first`
+                # overrides; NaN-safe: a false compare keeps prev)
+                prev_d = d_ref[n, 0, :, pl.ds(j, 1)]
+                prev_c = c_ref[n, 0, :, pl.ds(j, 1)]
+                take = jnp.logical_or(first, cost < prev_c)
+                d_ref[n, 0, :, pl.ds(j, 1)] = jnp.where(take, new_d, prev_d)
+                c_ref[n, 0, :, pl.ds(j, 1)] = jnp.where(take, cost, prev_c)
+
+
+def wta_vmem_bytes(group_outs, N: int) -> int:
+    """Scoped-VMEM estimate for unskew_wta_planes' per-step blocks
+    (mirrors its block derivation): each space ref holds a
+    (N, rpb, Tp_g, LB->128 lanes) row-group block resident at once.
+    mgm_solve_fused falls back to the materialised assembly when this
+    exceeds the budget (outsized scenes at mgm=4 skew Tp ~ C + 2R)."""
+    has_p = any(s == -1 for _, s, _ in group_outs)
+    slope = next((s for _, s, _ in group_outs if s > 0), 1)
+    rpb = 16 if has_p else 8 // slope
+    total = 0
+    for y, slope_g, spaces_g in group_outs:
+        if slope_g == -1:
+            for _ in spaces_g:
+                for half in y:
+                    total += N * (rpb // 2) * half.shape[2] * 128 * 4
+        else:
+            total += len(spaces_g) * N * rpb * y.shape[2] * 128 * 4
+    return total
 
 
 def unskew_wta_planes(group_outs, C: int, R: int, sides,
@@ -255,6 +298,11 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
     assert RP % rpb == 0
     R2 = next((y[0].shape[1] for y, s, _ in group_outs if s == -1),
               RP // 2)
+    # label axis in LB-lane blocks (grid dim 1): bounds per-step VMEM
+    # (full padded L across every space's row-group block exceeds the
+    # scoped budget for mgm=4's AB + PA + PB input set)
+    LB = min(L, 128)
+    NL = -(-L // LB)
     args, in_specs, have = [], [], []
     total_bytes = 0
     for y, slope_g, spaces_g in group_outs:
@@ -265,9 +313,9 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
                 for half in y:
                     args.append(half)
                     in_specs.append(
-                        pl.BlockSpec((N, rpb // 2, half.shape[2], L),
+                        pl.BlockSpec((N, rpb // 2, half.shape[2], LB),
                                      functools.partial(
-                                         lambda k, _si: (_si, k, 0, 0),
+                                         lambda k, lb, _si: (_si, k, 0, lb),
                                          _si=si),
                                      memory_space=pltpu.VMEM))
                 have.append(sp)
@@ -278,9 +326,10 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
         for si, sp in enumerate(spaces_g):
             args.append(y)
             in_specs.append(
-                pl.BlockSpec((N, rpb, Tp_g, L),
+                pl.BlockSpec((N, rpb, Tp_g, LB),
                              functools.partial(
-                                 lambda k, _si: (_si, k, 0, 0), _si=si),
+                                 lambda k, lb, _si: (_si, k, 0, lb),
+                                 _si=si),
                              memory_space=pltpu.VMEM))
             have.append(sp if slope_g > 0 else "V")
     order = {"A": 0, "B": 1, "V": 2, "PA": 3, "PB": 4}
@@ -294,11 +343,12 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
     Cp = -(-C // 8) * 8
     disp, cost = pl.pallas_call(
         functools.partial(_wta_kernel, C=C, slope=slope, rpb=rpb,
-                          RP=RP, R2=R2, L=L, sides=tuple(sides),
+                          RP=RP, R2=R2, L=L, LB=LB, sides=tuple(sides),
                           have=tuple(have)),
-        grid=(RP // rpb,),
+        grid=(RP // rpb, NL),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((N, 1, Cp, rpb), lambda k: (0, k, 0, 0),
+        out_specs=[pl.BlockSpec((N, 1, Cp, rpb),
+                                lambda k, lb: (0, k, 0, 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((N, RP // rpb, Cp, rpb),
                                         jnp.float32)] * 2,

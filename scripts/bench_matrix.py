@@ -39,6 +39,14 @@ MATRIX = {
     # per-pixel -m/-M windows at the cfg1 range (same work volume as
     # cfg1: the reference evaluates the full window band either way)
     "cfg1_mM": ("fast_ad", {"per_pixel": True}, "fountain", 5.8),
+    # cfg3 at production scale: an 8x8 mosaic of the satellite pair
+    # (2232x2168) through the tiled runner — the regime the 279x271
+    # cfg3 crop stands in for.  Throughput counts SCENE work
+    # (2*H*W*L), not the tiles' context overlap; the reference solves
+    # the same scene at its cfg3 rate (its cost is linear in pixels).
+    "cfg3_scene": ("satellite", {"test_lr": True, "scene": (8, 8),
+                                 "tile": 1116, "margin": 64},
+                   "satellite", 2.8),
 }
 
 
@@ -70,20 +78,36 @@ def main():
         preset, over, pair, ref_mpds = MATRIX[name]
         over = dict(over)
         per_pixel = over.pop("per_pixel", False)
+        over_static = {k: over.pop(k) for k in ("scene", "tile", "margin")
+                       if k in over}
         cfg = get_preset(preset, **(FOUNTAIN | over if pair == "fountain"
                                     else over))
         u, v = load_pair(pair)
         H, W, _ = u.shape
         sides = 2 if cfg.test_lr else 1
         mpd = sides * H * W * (cfg.dmax - cfg.dmin + 1) / 1e6
-        kw = {}
-        if per_pixel:
-            kw = dict(dmin_img=np.full((H, W), cfg.dmin, np.float32),
-                      dmax_img=np.full((H, W), cfg.dmax, np.float32))
+        scene = over_static.get("scene")
+        if scene:
+            from mgm_tpu.runner import tiled_disparity
+            ty, tx = scene
+            u = np.ascontiguousarray(np.tile(u, (ty, tx, 1)))
+            v = np.ascontiguousarray(np.tile(v, (ty, tx, 1)))
+            H, W, _ = u.shape
+            mpd = sides * H * W * (cfg.dmax - cfg.dmin + 1) / 1e6
 
-        def run():
-            return compute_disparity(u, v, cfg, outputs=("disp", "cost"),
-                                     **kw)
+            def run():
+                return tiled_disparity(u, v, cfg,
+                                       tile=over_static["tile"],
+                                       margin=over_static["margin"])
+        else:
+            kw = {}
+            if per_pixel:
+                kw = dict(dmin_img=np.full((H, W), cfg.dmin, np.float32),
+                          dmax_img=np.full((H, W), cfg.dmax, np.float32))
+
+            def run():
+                return compute_disparity(u, v, cfg,
+                                         outputs=("disp", "cost"), **kw)
 
         run()  # compile warmup
         best = None

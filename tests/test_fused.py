@@ -142,6 +142,10 @@ WTA_CASES = [
     dict(ndir=8, mgm=4),                      # A+B + parity PA+PB
     dict(ndir=8, mgm=4, use_weights=True),
     dict(ndir=8, mgm=4, use_fh=True, p1=2.0, p2=50.0),
+    # L > 128: the WTA kernel's label axis spans two LB=128 blocks
+    # (the multi-block running min/argmin fold)
+    dict(ndir=8, mgm=4, dmin=-126, dmax=8, H=12, W=21),
+    dict(ndir=4, mgm=2, dmin=-126, dmax=8, H=12, W=21),
 ]
 
 
