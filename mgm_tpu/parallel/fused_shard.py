@@ -58,12 +58,17 @@ AXIS = "y"
 
 
 def sharded_eligible(ndir: int, mgm: int, distance: str) -> bool:
-    """True when every pass schedules into the A/B skew spaces (single
-    group, no leftover) — the sharded-fused coverage."""
+    """True when every pass schedules into the A/B skew spaces
+    (staggered pipeline) or the column-front space V (lockstep
+    trapezoid) — i.e. every reference config with mgm <= 3.  The
+    packed parity spaces (mgm = 4 holdouts) stay on the XLA mesh
+    path."""
     if distance == "ncc":
         return False
     groups, leftover = split_passes(ndir, mgm)
-    return (not leftover and len(groups) == 1 and groups[0][0] > 0)
+    return (not leftover and bool(groups)
+            and all(s >= 0 for s, _, _ in groups)
+            and groups[0][0] > 0)
 
 
 def _local_skew(a, space: str, slope: int, t_len: int, fill, r0, Rl: int,
