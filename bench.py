@@ -5,12 +5,14 @@ TSGM=2, default P1/P2, LR consistency check on (both sides solved).
 Reference serial-CPU baseline: 18.2 s = 5.8 MP*disp/s over 2 sides
 (BASELINE.md).
 
-Prints the result JSON line after EVERY timed rep that improves the
-best time (each line is a complete, valid record): the TPU toolchain's
-remote compile service is high-variance (2-40 min when the persistent
-compile cache misses), so a partial run must still yield a number.
-The cache under ~/.cache/mgm_tpu_xla is pre-warmed during normal
-development runs of this exact config.
+Prints one result JSON line after EVERY timed rep (each line is a
+complete, valid record, so a partially-killed run still yields a
+number — the TPU toolchain's remote compile service is high-variance,
+2-40 min when the persistent compile cache misses).  The published
+`value` is the MEDIAN of the reps so far (the tunnel to the TPU adds
+10-20% wall-clock noise per rep; a best-of-N protocol made
+round-over-round comparisons noise-dominated — VERDICT round 3), with
+the best rep and every raw rep time carried alongside.
 """
 import json
 import os
@@ -20,7 +22,7 @@ import time
 import numpy as np
 
 BASELINE_MPDS = 5.8  # reference binary, same config, 1-core Xeon 2.10 GHz
-REPS = int(os.environ.get("MGM_TPU_BENCH_REPS", "3"))
+REPS = int(os.environ.get("MGM_TPU_BENCH_REPS", "6"))
 
 
 def main():
@@ -82,21 +84,22 @@ def main():
             print(f"# parity strip mgm={mgm}: "
                   f"{'ok' if ok else 'FAIL'} eq={eq:.5f}", flush=True)
 
-    best = None
+    times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         run()
-        dt = time.perf_counter() - t0
-        if best is None or dt < best:
-            best = dt
-            value = mpd / best
-            print(json.dumps({
-                "metric": ("fountain23 cfg1 (AD, L=151, O4, TSGM=2, LR) "
-                           "throughput"),
-                "value": round(value, 2),
-                "unit": "MP*disp/s",
-                "vs_baseline": round(value / BASELINE_MPDS, 2),
-            }), flush=True)
+        times.append(time.perf_counter() - t0)
+        value = mpd / float(np.median(times))
+        print(json.dumps({
+            "metric": ("fountain23 cfg1 (AD, L=151, O4, TSGM=2, LR) "
+                       "throughput"),
+            "value": round(value, 2),
+            "unit": "MP*disp/s",
+            "vs_baseline": round(value / BASELINE_MPDS, 2),
+            "stat": "median",
+            "best": round(mpd / min(times), 2),
+            "rep_times_s": [round(t, 4) for t in times],
+        }), flush=True)
     return 0
 
 

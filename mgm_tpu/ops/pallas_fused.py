@@ -371,7 +371,7 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
 def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
                   p1, p2, mgm, mode, nch, tmax, use_fh, use_weights, kappa,
                   reverse, accumulate, per_pixel, fh_restrict, ship_lane,
-                  inject_lane, RPg):
+                  inject_lane, RPg, use_halo):
     """One G-front block of the fused recursion on a device's LOCAL
     rows, with explicit carried state — the building block of the
     sharded pipeline (parallel/fused_shard.py): the surrounding
@@ -406,7 +406,7 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
     lo_ref = next(it) if per_pixel else None
     hi_ref = next(it) if per_pixel else None
     hist_in, mins_in = next(it), next(it)
-    halo_f = next(it)
+    halo_f = next(it) if use_halo else None
     acc_ref = next(it) if accumulate else None
     out_ref, hist_out, mins_out, ship_f = it
 
@@ -454,14 +454,15 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
             if roll:
                 f = _lane_roll(f, roll, INF)
                 mn = _lane_roll(mn, roll, INF)
-                # the shard-edge lane reads the neighbour device's
-                # boundary row for front t -+ lag instead of INF
-                hidx = u + (lag if reverse else -lag) + 8
-                hrow = halo_f[hidx]                       # (Ml, L)
-                f = jnp.where(lane1[None] == inject_lane,
-                              hrow[:, :, None], f)
-                mn = jnp.where(lane1 == inject_lane,
-                               jnp.min(hrow, axis=-1)[:, None], mn)
+                if use_halo:
+                    # the shard-edge lane reads the neighbour device's
+                    # boundary row for front t -+ lag instead of INF
+                    hidx = u + (lag if reverse else -lag) + 8
+                    hrow = halo_f[hidx]                   # (Ml, L)
+                    f = jnp.where(lane1[None] == inject_lane,
+                                  hrow[:, :, None], f)
+                    mn = jnp.where(lane1 == inject_lane,
+                                   jnp.min(hrow, axis=-1)[:, None], mn)
             mk = mn[:, None, :]
             if use_weights:
                 d = w_ref[:, ci, u, :][:, None, :]
@@ -523,10 +524,14 @@ def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
                 use_weights, kappa, reverse, per_pixel, fh_restrict,
                 ship_lane, inject_lane, RPg, interpret=False):
     """pallas_call wrapper for one sharded-pipeline block (grid-less).
+    halo_f=None disables shard-edge injection entirely: lane rolls read
+    the plain INF edge fill (the apron-band V-group pipeline refreshes
+    neighbour state between blocks instead of injecting per front).
     Returns (out_blk, hist', mins', ship_f)."""
     Mp, Cch, _, Rl = U_blk.shape
     D = max(c[0] for c in combos)
     Ml = len(mspecs)
+    use_halo = halo_f is not None
     kernel = functools.partial(
         _block_kernel, planes=tuple(planes), mspecs=tuple(mspecs),
         combos=tuple(combos), C=C, R_eff=R_eff, L=L, G=G, D=D, slope=slope,
@@ -534,7 +539,7 @@ def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
         tmax=float(tmax), use_fh=use_fh, use_weights=use_weights,
         kappa=float(kappa), reverse=reverse, accumulate=acc_blk is not None,
         per_pixel=per_pixel, fh_restrict=fh_restrict, ship_lane=ship_lane,
-        inject_lane=inject_lane, RPg=RPg)
+        inject_lane=inject_lane, RPg=RPg, use_halo=use_halo)
     args = [scal, U_blk, v_slab]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -545,8 +550,11 @@ def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
     if per_pixel:
         args += [lo_blk, hi_blk]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-    args += [hist, mins, halo_f]
-    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    args += [hist, mins]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    if use_halo:
+        args.append(halo_f)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     aliases = {}
     if acc_blk is not None:
         aliases = {len(args): 0}

@@ -4,40 +4,58 @@ compute_disparity(mesh=...) previously dropped to the XLA lax.scan
 solver whenever a mesh was given, forfeiting the fused Pallas kernels'
 ~10x single-chip speedup.  This module runs the SAME fused recursion
 (ops/pallas_fused.py semantics, mgm_core.cc:408-613 of gfacciol/mgm)
-inside shard_map:
+inside shard_map, covering every pass group except the packed parity
+spaces (the mgm=4 schedules of passes 2/3/5/7), i.e. every reference
+config with mgm <= 3 at any ndir, and ndir <= 2 at mgm = 4:
 
   - image rows are sharded over the 1-D mesh ("y"); every device holds
-    Rl rows (a multiple of 128 — the lane tiling), builds its local
-    slice of the GLOBALLY-skewed planes (the skew offset slope*r0
-    enters as a device-dependent dynamic shift), and steps the fused
+    Rl rows (a multiple of 128 — the lane tiling) and steps the fused
     block kernel (pallas_fused._block_kernel) over G-front blocks with
-    explicitly carried (hist, mins) state;
-  - scheduling: per (space, scan-direction) launch, device k processes
-    front-block sigma - stag(k) at superstep sigma, with stag = k when
-    the launch's lane rolls read the row ABOVE (information flows down
-    the mesh) and n-1-k when they read BELOW.  Adjacent devices are
-    exactly ONE block apart, and every cross-device dependency reaches
-    back at most D <= 3 < G fronts, so the upstream device's boundary
-    rows for a block are always shipped one superstep before they are
-    consumed — SURVEY.md 2.9's "device k starts its block as soon as
-    it receives the halo row of Lr L-vectors", at block granularity.
-    A launch never mixes roll directions: in the A/B skew spaces a
+    explicitly carried (hist, mins) state.
+  - **A/B skew groups** (slope 1/2 anti-diagonal wavefronts): device k
+    builds its local slice of the GLOBALLY-skewed planes (the skew
+    offset slope*r0 enters as a device-dependent dynamic shift) and
+    processes front-block sigma - stag(k) at superstep sigma, with
+    stag = k when the launch's lane rolls read the row ABOVE
+    (information flows down the mesh) and n-1-k when they read BELOW.
+    Adjacent devices are exactly ONE block apart, and every
+    cross-device dependency reaches back at most D <= 3 < G fronts, so
+    the upstream device's boundary rows for a block are always shipped
+    one superstep before they are consumed — SURVEY.md 2.9's "device k
+    starts its block as soon as it receives the halo row of Lr
+    L-vectors", at block granularity.  Per superstep each device
+    ppermutes the (G, Ml, L) boundary-row messages it just computed
+    into the downstream device's halo TRACK (indexed by front).  A
+    launch never mixes roll directions here: in the A/B skew spaces a
     pass's lane-roll sign always agrees with its scan direction's
     pipeline flow (the skew direction is what MAKES the deps causal).
-  - per superstep each device ppermutes the (G, Ml, L) boundary-row
-    messages it just computed into the downstream device's halo TRACK
-    (indexed by front).  The track carries the full Dvec state, so the
-    sharded run is BITWISE-equal to the single-device fused kernel
-    (cached minima are recomputed from the shipped rows; min is
-    order-independent).
+  - **V group** (slope-0 column fronts: passes 5/7 at mgm in 2..3,
+    whose deps are strictly horizontal-causal but read rows BOTH above
+    and below — bidirected, so no one-way stagger exists): devices run
+    in LOCKSTEP over B-front blocks on an APRON-extended lane range of
+    B rows borrowed from each neighbour.  Within a block no
+    communication happens; edge-fill corruption creeps inward at most
+    one lane per front, so after B fronts only the aprons are stale
+    and the interior is EXACT.  Between blocks each device ppermutes
+    its (still-exact) interior boundary bands of the carried
+    (hist, mins) state into the neighbours' aprons — two B-row-deep
+    refreshes per superstep instead of per-front bidirected halos.
+    Junk in out-of-image aprons (mesh edges) is structurally inert:
+    every V-group pass's full dep set spans both row signs
+    (mgm_core.cc:468,471), so its 1-pixel border rule
+    (mgm_core.cc:538-541) discards exactly the messages that could
+    consume an out-of-image row.
 
-Wall-clock: supersteps = NB + n - 1 vs NB single-device, each doing
-1/n of a block -> parallel efficiency NB / (NB + n - 1) (~97% at
-fountain23 scale on 8 chips), with the same skew dead-cell overhead as
-one device.  Covers every config whose passes all fit the A/B skew
-spaces (ndir <= 4 at mgm <= 3, ndir <= 2 at mgm = 4 — including
-BASELINE cfg1); V/parity-space passes would need per-front bidirected
-halos and stay on the XLA mesh path for now.
+The halo tracks / apron refreshes carry the full Dvec state (cached
+minima are recomputed from the shipped rows; min is order-independent),
+so the sharded run is BITWISE-equal to the single-device fused kernels.
+
+Wall-clock: A/B supersteps = NB + n - 1 vs NB single-device (pipeline
+fill), V supersteps = NB_v with a 2B/Rl lane-apron recompute overhead;
+efficiency grows with rows/device (the large-scene regime the mesh
+path exists for).  Packed-parity passes (mgm = 4 holdouts) stay on the
+XLA mesh path: their half-row lanes would need per-front bidirected
+halos at packed offsets — see sharded_eligible.
 """
 from __future__ import annotations
 
@@ -47,7 +65,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from ._shard_map import shard_map
 
 from ..ops import pallas_fused as pf
 from ..ops.fused import (PASS_TABLE, split_passes, _skew_rows, _col_window,
@@ -59,16 +78,15 @@ AXIS = "y"
 
 def sharded_eligible(ndir: int, mgm: int, distance: str) -> bool:
     """True when every pass schedules into the A/B skew spaces
-    (staggered pipeline) or the column-front space V (lockstep
-    trapezoid) — i.e. every reference config with mgm <= 3.  The
-    packed parity spaces (mgm = 4 holdouts) stay on the XLA mesh
-    path."""
+    (staggered pipeline) or the column-front space V (lockstep apron
+    pipeline) — i.e. every reference config with mgm <= 3, and
+    ndir <= 2 at mgm = 4.  The packed parity spaces (mgm = 4 holdouts,
+    slope tag -1) stay on the XLA mesh path."""
     if distance == "ncc":
         return False
     groups, leftover = split_passes(ndir, mgm)
     return (not leftover and bool(groups)
-            and all(s >= 0 for s, _, _ in groups)
-            and groups[0][0] > 0)
+            and all(s >= 0 for s, _, _ in groups))
 
 
 def _local_skew(a, space: str, slope: int, t_len: int, fill, r0, Rl: int,
@@ -76,13 +94,16 @@ def _local_skew(a, space: str, slope: int, t_len: int, fill, r0, Rl: int,
     """(..., Rl, W) local rows -> (..., Rl, t_len) slice of the GLOBAL
     skew: cell (r_loc, c) lands at t = c + slope*(r0 + r_loc) (A) or
     c + slope*(RPg - 1 - r0 - r_loc) (B).  Local pad/reshape skew plus
-    one device-dependent dynamic shift along t."""
+    one device-dependent dynamic shift along t.  slope == 0 (space V)
+    degenerates to a plain column pad."""
     if space == "B":
         base = jnp.flip(_skew_rows(jnp.flip(a, -2), slope, t_len, fill), -2)
         off = slope * (RPg - Rl - r0)
     else:
         base = _skew_rows(a, slope, t_len, fill)
         off = slope * r0
+    if slope == 0:
+        return base
     maxoff = slope * RPg
     pad = [(0, 0)] * (a.ndim - 1) + [(maxoff, 0)]
     padded = jnp.pad(base, pad, constant_values=fill)
@@ -94,15 +115,18 @@ def _local_unskew(y, C: int, slope: int, off):
     """(N, Rl, Tp, L) transposed launch output -> (N, Rl, C, L):
     out[r, c] = y[r, c + off + slope*r] (off traced per device)."""
     N, Rl, Tp, L = y.shape
+    if slope == 0:
+        return y[:, :, :C, :]
     flat = y.reshape(N, Rl * Tp, L)
     flat = jnp.pad(flat, ((0, 0), (0, slope * Rl), (0, 0)))
     z = flat.reshape(N, Rl, Tp + slope, L)
     return jax.lax.dynamic_slice(z, (0, 0, off, 0), (N, Rl, C, L))
 
 
-def _launch_setup(passes, spaces_here, sides, mgm):
-    """Static (planes, mspecs, combos, down) for one (space, dir)
-    sub-launch; `down` = halo flows down the mesh (rolls read above)."""
+def _launch_setup(passes, sides):
+    """Static (combos, mspecs, rolls) for one (space, dir) sub-launch;
+    combos are the distinct (front lag, lane roll) pairs, mspecs the
+    per-(pass, side) recursion specs indexing into them."""
     combos, mspecs = [], []
     rolls = set()
     for pid, space, ranks, border in passes:
@@ -115,10 +139,7 @@ def _launch_setup(passes, spaces_here, sides, mgm):
             mspecs.append((n, tuple(combos.index(c) for c in ranks),
                            border))
     rolls.discard(0)
-    assert rolls <= {1} or rolls <= {-1}, \
-        "A/B launches have single-signed lane rolls by construction"
-    down = 1 in rolls or not rolls
-    return combos, mspecs, down
+    return combos, mspecs, rolls
 
 
 @partial(jax.jit, static_argnames=("mesh", "sides", "L", "ndir", "mgm",
@@ -151,19 +172,13 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
     kappa = -float(ndir - 1) if fix_overcount else 0.0
 
     groups, leftover = split_passes(ndir, mgm)
-    assert not leftover and len(groups) == 1 and groups[0][0] > 0
-    slope, spaces, launches = groups[0]
+    assert not leftover and groups and all(s >= 0 for s, _, _ in groups), \
+        "caller must gate on sharded_eligible"
     # bigger blocks than the resident single-device kernel: every
     # superstep pays XLA slab slicing + a kernel launch + a ppermute,
     # so amortise over more fronts (the grid-less block kernel holds
     # one block's working set at a time, so VMEM allows it)
     G = int(os.environ.get("MGM_TPU_SFUSED_G", "32"))
-    T = C + slope * (RPg - 1) + 8
-    Tp = -(-T // G) * G
-    NB = Tp // G
-    SLABW = -(-(G + L - 1) // 8) * 8
-    A0 = {"A": 0, "B": slope * (RPg - 1)}
-    SS = {"A": -1, "B": 1}
 
     if mode in ("btad", "btsd"):
         u3 = jnp.concatenate([u_p, *_bt_aux(u_p)], -1)
@@ -176,21 +191,6 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
     int_img = jnp.issubdtype(lefts.dtype, jnp.integer)
     ifill = 0 if int_img else 0.0
 
-    # per-(space, dir) sub-launches with static setups
-    subs = []
-    fold_space = None
-    for d, ms in launches:
-        for space in spaces:
-            passes = [m for m in ms if m[1] == space]
-            if not passes:
-                continue
-            combos, mspecs, down = _launch_setup(passes, spaces, sides, mgm)
-            if fold_space is None and kappa != 0.0:
-                fold_space = space
-            Dk = max(c[0] for cs in (combos,) for c in cs)
-            subs.append((space, d, tuple(p[0] for p in passes),
-                         tuple(combos), tuple(mspecs), down, Dk))
-
     w_dummy = w8 if use_weights else jnp.zeros((N, Hp, W, 8), jnp.float32)
     lo_d = lo_px if per_pixel else jnp.zeros((N, Hp, W), jnp.int32)
     hi_d = hi_px if per_pixel else jnp.zeros((N, Hp, W), jnp.int32)
@@ -201,23 +201,26 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
         k = jax.lax.axis_index(AXIS)
         r0 = k * Rl
 
-        def skew_plane(space):
-            """Per-side skewed U, V(+phase), lo/hi for one space."""
+        def skew_plane(space, slope, Tp, SLABW, arrs, rl, rr0):
+            """Per-side skewed U, V(+phase), lo/hi for one space;
+            arrs = (lefts, rights, lo, hi) at the local lane extent
+            rl (Rl, or the apron-extended Rl + 2B for space V)."""
+            le, ri, lo_a, hi_a = arrs
             us, vs, los, his = [], [], [], []
             for ni, (gmin, lo, hi) in enumerate(sides):
-                u_c = jnp.moveaxis(lefts_l[ni], -1, 0)      # (Cch, Rl, W)
-                v_c = jnp.moveaxis(rights_l[ni], -1, 0)
-                us.append(_local_skew(u_c, space, slope, Tp, ifill, r0,
-                                      Rl, RPg))
+                u_c = jnp.moveaxis(le[ni], -1, 0)      # (Cch, rl, W)
+                v_c = jnp.moveaxis(ri[ni], -1, 0)
+                us.append(_local_skew(u_c, space, slope, Tp, ifill, rr0,
+                                      rl, RPg))
                 v_sh = _col_window(v_c, gmin, Tp + SLABW, ifill)
                 vs.append(_local_skew(v_sh, space, slope, Tp + SLABW,
-                                      ifill, r0, Rl, RPg))
+                                      ifill, rr0, rl, RPg))
                 if per_pixel:
-                    los.append(_local_skew(lo_l[ni], space, slope, Tp, 0,
-                                           r0, Rl, RPg))
-                    his.append(_local_skew(hi_l[ni], space, slope, Tp,
-                                           L - 1, r0, Rl, RPg))
-            U = jnp.swapaxes(jnp.stack(us), -1, -2)   # (N, Cch, Tp, Rl)
+                    los.append(_local_skew(lo_a[ni], space, slope, Tp, 0,
+                                           rr0, rl, RPg))
+                    his.append(_local_skew(hi_a[ni], space, slope, Tp,
+                                           L - 1, rr0, rl, RPg))
+            U = jnp.swapaxes(jnp.stack(us), -1, -2)   # (N, Cch, Tp, rl)
             V = jnp.swapaxes(jnp.stack(vs), -1, -2)
             LOs = (jnp.swapaxes(jnp.stack(los), -1, -2) if per_pixel
                    else None)
@@ -225,7 +228,8 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
                    else None)
             return U, V, LOs, HIs
 
-        def weights_skew(space, pids, combos, mspecs):
+        def weights_skew(space, slope, Tp, pids, combos, mspecs, w_a, rl,
+                         rr0):
             if not use_weights:
                 return None
             w_sk = []
@@ -236,22 +240,68 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
                 planes = []
                 for ci, c in enumerate(combos):
                     if ci in ranks:
-                        wp = w_l[ni, :, :, wch[ranks.index(ci)]]
+                        wp = w_a[ni, :, :, wch[ranks.index(ci)]]
                     else:
-                        wp = jnp.ones((Rl, W), jnp.float32)
+                        wp = jnp.ones((rl, W), jnp.float32)
                     planes.append(_local_skew(wp, space, slope, Tp, 1.0,
-                                              r0, Rl, RPg))
+                                              rr0, rl, RPg))
                 w_sk.append(jnp.stack(planes))
-            return jnp.swapaxes(jnp.stack(w_sk), -1, -2)  # (Ml, nc, Tp, Rl)
+            return jnp.swapaxes(jnp.stack(w_sk), -1, -2)  # (Ml, nc, Tp, rl)
 
-        space_arrays = {s: skew_plane(s) for s in spaces}
+        total = None
+        fold_done = False
+        for slope, spaces, launches in groups:
+            fold_group = kappa != 0.0 and not fold_done
+            fold_done = fold_done or fold_group
+            if slope > 0:
+                vol = run_ab_group(
+                    spaces, launches, fold_group, skew_plane, weights_skew,
+                    (lefts_l, rights_l, lo_l, hi_l), w_l, k, r0)
+            else:
+                vol = run_v_group(
+                    spaces, launches, fold_group, skew_plane, weights_skew,
+                    (lefts_l, rights_l, lo_l, hi_l), w_l, k, r0)
+            total = vol if total is None else total + vol
+        return total
+
+    def run_ab_group(spaces, launches, fold_group, skew_plane,
+                     weights_skew, arrs, w_l, k, r0):
+        """Staggered one-way pipeline with per-superstep ppermuted
+        boundary-row tracks (single-signed lane rolls)."""
+        slope = next(s for s, _, _ in groups if s > 0)
+        T = C + slope * (RPg - 1) + 8
+        Tp = -(-T // G) * G
+        NB = Tp // G
+        SLABW = -(-(G + L - 1) // 8) * 8
+        A0 = {"A": 0, "B": slope * (RPg - 1)}
+        SS = {"A": -1, "B": 1}
+
+        # per-(space, dir) sub-launches with static setups
+        subs = []
+        fold_space = spaces[0] if fold_group else None
+        for d, ms in launches:
+            for space in spaces:
+                passes = [m for m in ms if m[1] == space]
+                if not passes:
+                    continue
+                combos, mspecs, rolls = _launch_setup(passes, sides)
+                assert rolls <= {1} or rolls <= {-1}, \
+                    "A/B launches have single-signed lane rolls"
+                down = 1 in rolls or not rolls
+                Dk = max(c[0] for c in combos)
+                subs.append((space, d, tuple(p[0] for p in passes),
+                             tuple(combos), tuple(mspecs), down, Dk))
+
+        space_arrays = {s: skew_plane(s, slope, Tp, SLABW, arrs, Rl, r0)
+                        for s in spaces}
         # one trailing trash block absorbs invalid-superstep writes
         outs = {s: jnp.zeros((N, Tp + G, L, Rl), jnp.float32)
                 for s in spaces}
 
         for space, d, pids, combos, mspecs, down, Dk in subs:
             U, V, LOs, HIs = space_arrays[space]
-            Wk = weights_skew(space, pids, combos, mspecs)
+            Wk = weights_skew(space, slope, Tp, pids, combos, mspecs,
+                              w_l, Rl, r0)
             reverse = d == "bwd"
             accumulate = d == "bwd"  # fwd ran first into outs[space]
             fold = (space == fold_space) and (d == "fwd")
@@ -348,7 +398,123 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
             total = vol if total is None else total + vol
         return total
 
-    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    def run_v_group(spaces, launches, fold_group, skew_plane,
+                    weights_skew, arrs, w_l, k, r0):
+        """Lockstep apron-band pipeline for the column-front group
+        (slope 0, bidirected lane rolls): every device processes every
+        block at the same superstep over Rl + 2B lanes (B apron rows
+        from each neighbour), then refreshes the aprons of the carried
+        (hist, mins) from the neighbours' exact interiors.  Corruption
+        from the apron edge creeps <= 1 lane per front, so B = block
+        depth keeps the interior bitwise-exact."""
+        assert spaces == ["V"] or tuple(spaces) == ("V",)
+        B = int(os.environ.get("MGM_TPU_SFUSED_GV", str(G)))
+        B = max(8, min(B - B % 8, Rl))  # aprons cannot exceed the shard
+        Rlap = Rl + 2 * B
+        T = C + 8
+        Tp = -(-T // B) * B
+        NBv = Tp // B
+        SLABW = -(-(B + L - 1) // 8) * 8
+        down_perm = [(i, (i + 1) % n) for i in range(n)]
+        up_perm = [(i, (i - 1) % n) for i in range(n)]
+
+        def extend(a, fill, axis):
+            """Apron-extend `a` (rows on `axis`) with B boundary rows
+            from each neighbour; mesh-edge aprons get `fill` (inert:
+            see the module docstring's border-rule argument)."""
+            nr = a.ndim
+            ax = axis % nr
+            topsrc = jax.lax.slice_in_dim(a, Rl - B, Rl, axis=ax)
+            botsrc = jax.lax.slice_in_dim(a, 0, B, axis=ax)
+            top = jax.lax.ppermute(topsrc, AXIS, down_perm)
+            bot = jax.lax.ppermute(botsrc, AXIS, up_perm)
+            top = jnp.where(jnp.equal(k, 0), fill, top)
+            bot = jnp.where(jnp.equal(k, n - 1), fill, bot)
+            return jnp.concatenate([top, a, bot], axis=ax)
+
+        le, ri, lo_a, hi_a = arrs
+        fill_img = jnp.asarray(ifill, le.dtype)
+        arrs_ap = (extend(le, fill_img, -3), extend(ri, fill_img, -3),
+                   extend(lo_a, 0, -2) if per_pixel else lo_a,
+                   extend(hi_a, L - 1, -2) if per_pixel else hi_a)
+        w_ap = extend(w_l, 1.0, -3) if use_weights else w_l
+        r0ap = r0 - B
+
+        U, V, LOs, HIs = skew_plane("V", 0, Tp, SLABW, arrs_ap, Rlap, r0ap)
+        out = jnp.zeros((N, Tp, L, Rlap), jnp.float32)
+
+        for d, passes in launches:
+            for pid, space, ranks, border in passes:
+                # the junk out-of-image aprons at the mesh edges rely
+                # on the border rule discarding every message adjacent
+                # to an out-of-image row (see module docstring)
+                assert border[2] and border[3], \
+                    "V-group passes must mask both row borders"
+            combos, mspecs, rolls = _launch_setup(passes, sides)
+            Wk = weights_skew("V", 0, Tp, tuple(p[0] for p in passes),
+                              combos, mspecs, w_ap, Rlap, r0ap)
+            reverse = d == "bwd"
+            accumulate = d == "bwd"
+            fold = fold_group and (d == "fwd")
+            planes = tuple((gmin, lo, hi, 0, -1, fold, 0)
+                           for (gmin, lo, hi) in sides)
+            Ml = len(mspecs)
+            Dk = max(c[0] for c in combos)
+
+            def vstep(carry, blk, U=U, V=V, Wk=Wk, LOs=LOs, HIs=HIs,
+                      planes=planes, combos=combos, mspecs=mspecs,
+                      reverse=reverse, accumulate=accumulate, Ml=Ml):
+                out, hist, mins = carry
+                beff = (NBv - 1 - blk) if reverse else blk
+                t0 = beff * B
+                scal = jnp.stack([t0, jnp.asarray(r0ap)]).astype(jnp.int32)
+                U_blk = jax.lax.dynamic_slice_in_dim(U, t0, B, axis=2)
+                v_slab = jax.lax.dynamic_slice_in_dim(V, t0, SLABW, axis=2)
+                W_blk = (jax.lax.dynamic_slice_in_dim(Wk, t0, B, axis=2)
+                         if use_weights else None)
+                lo_blk = (jax.lax.dynamic_slice_in_dim(LOs, t0, B, axis=1)
+                          if per_pixel else None)
+                hi_blk = (jax.lax.dynamic_slice_in_dim(HIs, t0, B, axis=1)
+                          if per_pixel else None)
+                out_cur = (jax.lax.dynamic_slice_in_dim(out, t0, B, axis=1)
+                           if accumulate else None)
+                ob, h2, m2, _ = pf.fused_block(
+                    scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
+                    None, out_cur,
+                    planes=planes, mspecs=mspecs, combos=combos, C=C,
+                    R_eff=h_real, L=L, G=B, slope=0, p1=p1, p2=p2,
+                    mgm=mgm, mode=mode, nch=nch, tmax=tmax, use_fh=use_fh,
+                    use_weights=use_weights, kappa=kappa, reverse=reverse,
+                    per_pixel=per_pixel, fh_restrict=fh_restrict,
+                    ship_lane=0, inject_lane=0, RPg=RPg,
+                    interpret=interpret)
+                out = jax.lax.dynamic_update_slice_in_dim(out, ob, t0,
+                                                          axis=1)
+                # apron refresh: my interior boundary bands (exact) ->
+                # the neighbours' aprons, for both hist and mins
+                def refresh(x):
+                    sd = jax.lax.slice_in_dim(x, Rl, Rl + B, axis=-1)
+                    su = jax.lax.slice_in_dim(x, B, 2 * B, axis=-1)
+                    rt = jax.lax.ppermute(sd, AXIS, down_perm)
+                    rb = jax.lax.ppermute(su, AXIS, up_perm)
+                    rt = jnp.where(jnp.equal(k, 0), INF, rt)
+                    rb = jnp.where(jnp.equal(k, n - 1), INF, rb)
+                    x = jax.lax.dynamic_update_slice_in_dim(
+                        x, rt, 0, axis=-1)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        x, rb, Rl + B, axis=-1)
+
+                return (out, refresh(h2), refresh(m2)), None
+
+            init = (out,
+                    jnp.full((Dk, Ml, L, Rlap), INF, jnp.float32),
+                    jnp.full((Dk, Ml, Rlap), INF, jnp.float32))
+            (out, _, _), _ = jax.lax.scan(
+                vstep, init, jnp.arange(NBv, dtype=jnp.int32))
+
+        y = jnp.transpose(out, (0, 3, 1, 2))       # (N, Rlap, Tp, L)
+        return _local_unskew(y[:, B:B + Rl], C, 0, 0)
+
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, AXIS, None, None), P(None, AXIS, None, None),
@@ -356,6 +522,7 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
                   P(None, AXIS, None)),
         out_specs=P(None, AXIS, None, None),
         check_rep=False)
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
     lefts = jax.lax.with_sharding_constraint(lefts, sh(None, AXIS))
     rights = jax.lax.with_sharding_constraint(rights, sh(None, AXIS))
     return fn(lefts, rights, w_dummy, lo_d, hi_d)

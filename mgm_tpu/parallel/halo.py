@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from ._shard_map import shard_map
 
 from ..ops.aggregate import (AXIS_DIR2OFF, DIAG_DIR2OFF, KNIGHT_DIR2OFF,
                              PASS_TABLE, _dir2off, _pass_groups, skew, unskew,

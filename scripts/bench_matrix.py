@@ -109,22 +109,30 @@ def main():
                 return compute_disparity(u, v, cfg,
                                          outputs=("disp", "cost"), **kw)
 
-        run()  # compile warmup
-        best = None
+        try:
+            run()  # compile warmup
+        except Exception as e:  # a crashing row must not kill the matrix
+            print(json.dumps({"metric": f"{name} ({preset}, {pair})",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
+        times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             run()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            times.append(time.perf_counter() - t0)
         if args.trace:
             with trace(f"{args.trace}/{name}"):
                 run()
-        value = mpd / best
+        value = mpd / float(np.median(times))
         print(json.dumps({
             "metric": f"{name} ({preset}, {pair}) throughput",
             "value": round(value, 2),
             "unit": "MP*disp/s",
             "vs_baseline": round(value / ref_mpds, 2),
+            "stat": "median",
+            "best": round(mpd / min(times), 2),
+            "rep_times_s": [round(t, 4) for t in times],
         }), flush=True)
     return 0
 

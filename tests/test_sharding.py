@@ -162,6 +162,18 @@ def test_sharded_fused_pipeline(rng, monkeypatch):
                       p2=100, test_lr=True), None),
         (2, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=2, test_lr=True),
          "pp"),
+        # ndir=8 exercises the V group (passes 5/7: lockstep apron
+        # pipeline with bidirected refreshes) alongside A/B — the
+        # round-3 eligibility crash lived exactly here
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=2, test_lr=True),
+         None),
+        (4, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3, a_p2=0.5,
+                      refinement="vfit", test_lr=True), None),
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3, distance="census",
+                      prefilter="census", use_trunc_linear=True, p1=2,
+                      p2=100, test_lr=True), None),
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=2, test_lr=True),
+         "pp"),
     ]
     for n_dev, cfg, pp in cases:
         kw = {}
