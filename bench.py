@@ -47,16 +47,7 @@ def main():
     def run():
         return compute_disparity(u, v, cfg, outputs=("disp", "cost"))
 
-    try:
-        run()  # warmup (compile; fast when the persistent cache is warm)
-    except Exception:
-        # the remote TPU compile service intermittently OOM-kills big
-        # kernel compiles; retry with a shallower wavefront block
-        import jax
-
-        os.environ["MGM_TPU_MAX_G"] = "8"
-        jax.clear_caches()
-        run()
+    run()  # warmup (compile; fast when the persistent cache is warm)
 
     if os.environ.get("MGM_TPU_BENCH_PARITY", "1") != "0":
         # full-scale-geometry parity gate (scripts/tpu_parity.py is the

@@ -87,9 +87,10 @@ def _enable_cache_on_experimental_platforms():
 _enable_cache_on_experimental_platforms()
 
 from .config import MGMConfig
-from .stereo import compute_disparity
+from .stereo import compute_disparity, compute_disparity_batch
 from .mrf import solve_mrf
 from .runner import tiled_disparity
 
-__version__ = "0.2.0"
-__all__ = ["MGMConfig", "compute_disparity", "solve_mrf"]
+__version__ = "0.3.0"
+__all__ = ["MGMConfig", "compute_disparity", "compute_disparity_batch",
+           "solve_mrf", "tiled_disparity"]

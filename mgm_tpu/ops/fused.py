@@ -282,7 +282,8 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     the kappa * CC overcount term (exactly one group may).
     lohi_px: per-pixel (lo, hi) (N, H, W) int32 label windows replacing
     the constant per-side windows of `sides` (-m/-M, mgm.cc:338-353).
-    Returns the transposed raw output (Mp, RP, Tp, L).
+    Returns the NATIVE launch output (Mp, Tp, L, RP): the forward
+    launch's planes with the backward launch accumulated in.
     """
     N = len(sides)
     parity = slope == P_SLOPE
@@ -290,12 +291,19 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     # overhead but grow the (Mp, G, L, Rp) in/out blocks; 8 is safe
     # everywhere, 16 is worth trying on large-VMEM parts.  Parity
     # launches need G/2 (the per-ring advance) to stay 8-aligned.
+    # Tp rounds up to a 128-lane multiple (not just the G-block): the
+    # unskew+WTA relayout puts fronts in LANES, and keeping the native
+    # extent 128-aligned makes that relayout a single pure transpose
+    # copy (Mosaic's dynamic lane rotate rejects unaligned lane dims;
+    # a separate XLA pad op costs a full extra volume pass).  The few
+    # extra dead fronts are masked like the G-rounding ones always were.
+    from math import lcm
     if parity:
         G = int(os.environ.get("MGM_TPU_FUSED_GP", "16"))
         # half-row lanes; DMA slices need the lane dim 128-aligned
         R2 = -(-(RP // 2) // 128) * 128
         T = 2 * C + 2 * R2 + 8
-        Tp = -(-T // G) * G
+        Tp = -(-T // (2 * lcm(128, G // 2))) * (2 * lcm(128, G // 2))
         SLAB = -(-(G // 2 + L - 1) // 8) * 8
         Tv = Tp // 2 + SLAB
         A0 = {"PA": 0, "PB": R2 - 1}
@@ -305,7 +313,7 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
     else:
         G = int(os.environ.get("MGM_TPU_FUSED_G", "8"))
         T = C + slope * (RP - 1) + 8
-        Tp = -(-T // G) * G
+        Tp = -(-T // lcm(128, G)) * lcm(128, G)
         SLAB = -(-(G + L - 1) // 8) * 8
         Tv = Tp + SLAB
         A0 = {"A": 0, "B": slope * (RP - 1), "V": 0}
@@ -370,7 +378,14 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
         lohi = (jnp.swapaxes(jnp.stack(lo_sk), -1, -2),
                 jnp.swapaxes(jnp.stack(hi_sk), -1, -2))  # (Mp, Tp, RP)
 
+    # the backward launch ACCUMULATES onto the forward launch's planes
+    # via input_output_aliasing.  (Round 4 measured the alternative —
+    # separate fwd/bwd volumes with the add deferred to the relayout
+    # copy — hoping XLA would fuse add+transpose into one pass; it
+    # materialised add, transpose AND pad as three full-volume ops,
+    # 16.5 ms vs the accumulate's 4.2 ms read-modify-write.)
     out = None
+    first_launch = True
     for d, passes in launches:
         combos = []
         mspecs = []
@@ -404,8 +419,9 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
         W = (jnp.swapaxes(jnp.stack(w_sk), -1, -2) if use_weights
              else None)
         # the kappa*CC fold happens exactly once: in the first launch
-        lspecs = (plane_specs if out is None
+        lspecs = (plane_specs if first_launch
                   else [s[:5] + (False,) + s[6:] for s in plane_specs])
+        first_launch = False
         out = pf.fused_wavefront(
             U, V, W, out, planes=lspecs, mspecs=mspecs,
             combos=combos, C=C, R_eff=R, L=L, G=G, slope=kslope, mgm=mgm,
@@ -414,9 +430,7 @@ def _run_group(launches, spaces, left, right, w8, *, sides, L, C, R, RP,
             lohi=lohi, fh_restrict=fh_restrict, parity=parity,
             interpret=interpret)                   # (Mp, Tp, L, RP)
 
-    if parity:
-        return tuple(jnp.transpose(o, (0, 3, 1, 2)) for o in out)
-    return jnp.transpose(out, (0, 3, 1, 2))        # (Mp, RP, Tp, L)
+    return out  # native (Mp, Tp, L, RP); parity: (even, odd) pair
 
 
 def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
@@ -427,8 +441,9 @@ def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
     one row padding RP so their raw outputs are row-aligned.
 
     assemble=True: unskew every plane and return the (N, H, W, L)
-    per-side sum.  assemble=False: return the raw per-group outputs
-    [(raw (Mp, RP, Tp_g, L), slope_g, spaces_g), ...] for the fused
+    per-side sum.  assemble=False: return the raw per-group NATIVE
+    outputs [(raw (Mp, Tp_g, L, RP), slope_g, spaces_g), ...] (parity:
+    raw is an (even, odd) pair of (Mp, Th_g, L, R2)) for the fused
     unskew+WTA assembly (ops/pallas_fused.unskew_wta_planes).
     """
     N = len(sides)
@@ -453,24 +468,30 @@ def run_fused(groups, left, right, w8, *, sides, L, C, R, mgm, p1, p2,
 
 
 def assemble_groups(outs, *, N, C, R, interpret=False):
-    """Unskew every group's raw planes and return the (N, H, W, L)
-    per-side sum (the materialised-volume assembly; the fused
-    unskew+WTA path in mgm_solve_fused skips this entirely)."""
+    """Unskew every group's raw NATIVE (Mp, Tp, L, RP) planes and
+    return the (N, H, W, L) per-side sum (the materialised-volume
+    assembly; the fused unskew+WTA path in mgm_solve_fused skips this
+    entirely).  The (0, 3, 1, 2) relayout feeding each unskew absorbs
+    the forward+backward launch add."""
     total = None
     for raw, slope_g, spaces_g in outs:
         if slope_g == P_SLOPE:
             part = None
             for si, sp in enumerate(spaces_g):
-                pair = (raw[0][si * N:(si + 1) * N],
-                        raw[1][si * N:(si + 1) * N])
+                pair = tuple(
+                    jnp.transpose(raw[h][si * N:(si + 1) * N],
+                                  (0, 3, 1, 2)) for h in range(2))
                 vol = _unskew_packed(pair, C, R, sp)
                 part = vol if part is None else part + vol
         elif slope_g == 0:
-            part = raw[:, :R, :C, :]  # V unskew: t = c, pure slice
+            # V unskew: t = c, pure slice of the relayout
+            part = jnp.transpose(raw, (0, 3, 1, 2))[:, :R, :C, :]
         else:
+            rawt = jnp.transpose(raw, (0, 3, 1, 2))
             sp_tags = [0 if s == "A" else 1 for s in spaces_g
                        for _ in range(N)]
-            vols = pf.unskew_planes(raw, C, R, slope_g, sp_tags, interpret)
+            vols = pf.unskew_planes(rawt, C, R, slope_g, sp_tags,
+                                    interpret)
             part = vols[:N]
             for si in range(1, len(spaces_g)):
                 part = part + vols[si * N:(si + 1) * N]
@@ -495,7 +516,14 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
 
     u_p, v_p: (H, W, Cch) preprocessed images (uint32 census codes for
       'census'); side n >= 1 (the LR check's right solve) swaps them.
-    w8: (N, H, W, 8) edge weights when use_weights.
+      A leading batch axis — (K, H, W, Cch) — solves K independent
+      pairs in ONE launch set (`sides` then has K*n_sides entries,
+      pair-major): the kernels' plane axis carries any number of
+      (pair, side, space) planes, so small problems (scene tiles,
+      serving batches) amortise launch and pipeline overheads that
+      dominate them individually.
+    w8: (N, H, W, 8) edge weights when use_weights (N = len(sides),
+      i.e. K*n_sides when batched).
     s_lo/s_hi: (N, H, W) int32 S/WTA label windows, or None when they
       equal the per-side constant windows of `sides` (saves the host
       from materialising them: remote-attached TPUs pay a round-trip
@@ -511,18 +539,23 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     like the dense path's fh_restrict).
     Returns (S, disp, cost) exactly as solver.mgm_solve.
     """
-    H, W, _ = u_p.shape
+    H, W = u_p.shape[-3:-1]
     N = len(sides)
     tmax = trunc_dist * nch
     interpret = backend == "interpret"
     agg_backend = "interpret" if interpret else "pallas"
 
-    if mode in ("btad", "btsd"):
-        u3 = jnp.concatenate([u_p, *_bt_aux(u_p)], -1)
-        v3 = jnp.concatenate([v_p, *_bt_aux(v_p)], -1)
-        lefts, rights = [u3, v3][:N], [v3, u3][:N]
-    else:
-        lefts, rights = [u_p, v_p][:N], [v_p, u_p][:N]
+    ups = [u_p] if u_p.ndim == 3 else [u_p[k] for k in range(u_p.shape[0])]
+    vps = [v_p] if v_p.ndim == 3 else [v_p[k] for k in range(v_p.shape[0])]
+    assert N % len(ups) == 0
+    npair = N // len(ups)  # sides per image pair (2 with the LR check)
+    lefts, rights = [], []
+    for uu, vv in zip(ups, vps):
+        if mode in ("btad", "btsd"):
+            uu = jnp.concatenate([uu, *_bt_aux(uu)], -1)
+            vv = jnp.concatenate([vv, *_bt_aux(vv)], -1)
+        lefts += [uu, vv][:npair]
+        rights += [vv, uu][:npair]
 
     groups, leftover = split_passes(ndir, mgm)
     kappa = -float(ndir - 1) if fix_overcount else 0.0
@@ -572,7 +605,8 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
         fusing into the wavefront scan).  The builder computes its own
         BT aux channels, so it gets the raw preprocessed pair, not the
         concatenated one."""
-        raw_l, raw_r = [u_p, v_p][:N], [v_p, u_p][:N]
+        raw_l = [a for uu, vv in zip(ups, vps) for a in [uu, vv][:npair]]
+        raw_r = [a for uu, vv in zip(ups, vps) for a in [vv, uu][:npair]]
         ccs = []
         for n, (gmin, lo, hi) in enumerate(sides):
             if per_pixel:

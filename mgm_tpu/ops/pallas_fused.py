@@ -155,72 +155,56 @@ def unskew_planes(y, C: int, R: int, slope: int, spaces,
     return out[:, :R]
 
 
-def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, LB, sides, have):
+def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, TO, sides, have):
     """Fused unskew + cross-space sum + WTA for one row group.
 
     Replaces unskew -> space-sum -> S-window -> argmin/min
     (mgm_core.cc:582-609) when the caller needs only disp/cost and the
     S/WTA label windows equal the per-side constant CC windows: the
     unskewed (N, H, W, L) volume is never materialised.  Inputs are
-    row-group blocks of the transposed launch outputs, one per space in
-    `have` ("A"/"B"/"V" consume one ref; packed parity spaces "PA"/"PB"
-    consume an (even, odd) front-parity ref pair whose lanes are
-    half-rows); per row the values of the same pixel are static sublane
-    slices (the mod-8 residue trick), summed in VMEM and reduced over
-    the label (lane) axis.  Ties pick the lowest label, as jnp.argmin
-    does; an all-invalid window yields idx 0 and +inf cost exactly like
-    the dense path.
-
-    The label axis is processed in LB-lane blocks (grid dim 1, minor):
-    each step reduces its block and folds the (cost, disp) partials
-    into the resident output block with a strictly-less rule — earlier
-    blocks hold lower labels, so ties keep the lowest label exactly as
-    the single-block reduction did.  This bounds the per-step VMEM by
-    LB lanes instead of the full padded L (mgm=4 configs, whose AB +
-    parity groups all feed one call, exceeded the 100 MB scoped-VMEM
-    budget at L=151 -> 256 padded lanes).
-    """
+    row-group blocks of the (Mp, RP, L, Tp) relayouts of the launch
+    outputs — labels stay in SUBLANES (L pads 151 -> 152, not the 256
+    LANES of the round-3 layout: a 1.7x pure-padding traffic tax on
+    the relayout write and this kernel's read), fronts in lanes.  Per
+    row r the values of pixel (r, c) sit at front t = c + shift(r), a
+    DYNAMIC LANE ROLL by -shift(r) (supported by Mosaic; dynamic lane
+    *slices* are not).  Rolled slabs are summed across spaces
+    ("A"/"B"/"V" consume one ref each; packed parity spaces "PA"/"PB"
+    an (even, odd) front-parity ref pair whose rows are half-rows) and
+    reduced over the label (sublane) axis.  Ties pick the lowest
+    label, as jnp.argmin does; an all-invalid window yields idx 0 and
+    +inf cost exactly like the dense path.  Outputs land directly in
+    image layout (rows x column-lanes)."""
     n_in = sum(2 if sp in ("PA", "PB") else 1 for sp in have)
     in_refs = refs[:n_in]
     d_ref, c_ref = refs[n_in:]
     k = pl.program_id(0)
-    lb = pl.program_id(1)
-    first = lb == 0
-    lab = lb * LB + jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
     A0B = slope * (RP - 1)
     A0P = R2 - 1  # parity halves' (possibly 128-padded) half-row extent
 
-    def space_slice(rs, n, j, sp):
-        if sp == "V":
-            return rs[0][n, j, :C, :]
-        if sp == "A":
-            ref, jj = rs[0], j
-            base = pl.multiple_of(slope * rpb * k + 8 * ((slope * j) // 8),
-                                  8)
-            res = (slope * j) % 8
-        elif sp == "B":
-            ref, jj = rs[0], j
-            c0 = 8 * ((A0B - slope * j) // 8)
-            base = pl.multiple_of(c0 - slope * rpb * k, 8)
-            res = (A0B - slope * j) % 8
-        else:
-            # packed parity: row r = rpb*k + j lives in the front-parity
-            # (j&1)^parf half at half-row jj = r >> 1
+    def space_slab(rs, n, j, sp):
+        """The (L, TO) label x column slab of row rpb*k + j, lanes
+        rolled so lane c holds pixel (row, c), cropped to the common
+        output extent TO >= C.  No wraparound garbage can reach
+        lanes < C: t = c + shift <= C - 1 + A0 < Tp."""
+        if sp in ("PA", "PB"):
             parf = 1 if sp == "PB" else 0
-            ref, jj = rs[(j & 1) ^ parf], j >> 1
-            if sp == "PA":
-                base = pl.multiple_of((rpb // 2) * k + 8 * ((j >> 1) // 8),
-                                      8)
-                res = (j >> 1) % 8
-            else:
-                c0 = 8 * ((A0P - (j >> 1)) // 8)
-                base = pl.multiple_of(c0 - (rpb // 2) * k, 8)
-                res = (A0P - (j >> 1)) % 8
-        buf = ref[n, jj, pl.ds(base, C + 8), :]
-        return buf[res:res + C, :]
+            ref = rs[(j & 1) ^ parf]
+            rho = (rpb // 2) * k + (j >> 1)
+            shift = rho if sp == "PA" else A0P - rho
+            y = ref[n, j >> 1]
+        else:
+            r = rpb * k + j
+            shift = (slope * r if sp == "A"
+                     else A0B - slope * r if sp == "B" else 0)
+            y = rs[0][n, j]
+        if sp == "V":
+            return y[:, :TO]
+        Tp = y.shape[-1]
+        y = pltpu.roll(y, shift=jax.lax.rem(Tp - shift, Tp), axis=1)
+        return y[:, :TO]
 
-    Cp = d_ref.shape[2]
-    one_block = (LB >= L)
+    lab = jax.lax.broadcasted_iota(jnp.int32, (L, TO), 0)
     for n, (gmin, lo, hi) in enumerate(sides):
         in_win = (lab >= lo) & (lab <= hi)
         for j in range(rpb):
@@ -228,49 +212,39 @@ def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, LB, sides, have):
             i = 0
             for sp in have:
                 nr = 2 if sp in ("PA", "PB") else 1
-                sl = space_slice(in_refs[i:i + nr], n, j, sp)
+                sl = space_slab(in_refs[i:i + nr], n, j, sp)
                 i += nr
                 s = sl if s is None else s + sl
             cand = jnp.where(in_win & (s < INF) & (s > -INF), s, INF)
-            cost = jnp.min(cand, axis=-1, keepdims=True)       # (C, 1)
-            idx = jnp.min(jnp.where(cand == cost, lab, L), axis=-1,
+            cost = jnp.min(cand, axis=0, keepdims=True)        # (1, Tp)
+            idx = jnp.min(jnp.where(cand == cost, lab, L), axis=0,
                           keepdims=True)
-            if Cp != C:
-                cost = jnp.pad(cost, ((0, Cp - C), (0, 0)))
-                idx = jnp.pad(idx, ((0, Cp - C), (0, 0)))
-            new_d = (gmin + idx).astype(jnp.float32)
-            if one_block:
-                d_ref[n, 0, :, pl.ds(j, 1)] = new_d
-                c_ref[n, 0, :, pl.ds(j, 1)] = cost
-            else:
-                # fold this label block's partials into the resident
-                # output block (uninitialised at lb == 0 -> `first`
-                # overrides; NaN-safe: a false compare keeps prev)
-                prev_d = d_ref[n, 0, :, pl.ds(j, 1)]
-                prev_c = c_ref[n, 0, :, pl.ds(j, 1)]
-                take = jnp.logical_or(first, cost < prev_c)
-                d_ref[n, 0, :, pl.ds(j, 1)] = jnp.where(take, new_d, prev_d)
-                c_ref[n, 0, :, pl.ds(j, 1)] = jnp.where(take, cost, prev_c)
+            d_ref[n, pl.ds(j, 1), :] = (gmin + idx).astype(jnp.float32)
+            c_ref[n, pl.ds(j, 1), :] = cost
 
 
 def wta_vmem_bytes(group_outs, N: int) -> int:
     """Scoped-VMEM estimate for unskew_wta_planes' per-step blocks
-    (mirrors its block derivation): each space ref holds a
-    (N, rpb, Tp_g, LB->128 lanes) row-group block resident at once.
-    mgm_solve_fused falls back to the materialised assembly when this
-    exceeds the budget (outsized scenes at mgm=4 skew Tp ~ C + 2R)."""
+    (mirrors its block derivation, x2 for pipeline double-buffering):
+    each space ref holds a (N, rpb, L->8-mult sublanes, Tp_g->128-mult
+    lanes) row-group block resident at once.  mgm_solve_fused falls
+    back to the materialised assembly when this exceeds the budget
+    (outsized scenes at mgm=4 skew Tp ~ C + 2R)."""
     has_p = any(s == -1 for _, s, _ in group_outs)
-    slope = next((s for _, s, _ in group_outs if s > 0), 1)
-    rpb = 16 if has_p else 8 // slope
+    rpb = 16 if has_p else 8
+
+    def blk(T, L, rows):
+        return N * rows * (-(-L // 8) * 8) * (-(-T // 128) * 128) * 4
+
     total = 0
     for y, slope_g, spaces_g in group_outs:
         if slope_g == -1:
             for _ in spaces_g:
                 for half in y:
-                    total += N * (rpb // 2) * half.shape[2] * 128 * 4
+                    total += blk(half.shape[1], half.shape[2], rpb // 2)
         else:
-            total += len(spaces_g) * N * rpb * y.shape[2] * 128 * 4
-    return total
+            total += len(spaces_g) * blk(y.shape[1], y.shape[2], rpb)
+    return 2 * total
 
 
 def unskew_wta_planes(group_outs, C: int, R: int, sides,
@@ -279,56 +253,63 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
     float32, N = len(sides).
 
     group_outs: [(y, slope_g, spaces_g), ...] as returned by
-    run_fused(assemble=False): y is (Mp, RP, Tp_g, L) for skewed/V
-    groups and an (even, odd) pair of (Mp, RP/2, Th_g, L) for the
-    packed parity group (slope_g = -1); within a group the plane order
-    is space-contiguous, sides contiguous within a space."""
+    run_fused(assemble=False): y is the NATIVE (Mp, Tp_g, L, RP) launch
+    output for skewed/V groups and an (even, odd) pair of
+    (Mp, Th_g, L, R2) for the packed parity group (slope_g = -1);
+    within a group the plane order is space-contiguous, sides
+    contiguous within a space.  Each is relayouted here to
+    (Mp, RP, L, Tp) — labels in sublanes, fronts in lanes; XLA fuses
+    the forward+backward-launch add into this copy."""
     N = len(sides)
     first = group_outs[0][0]
     y0 = first[0] if isinstance(first, tuple) else first
-    L = y0.shape[3]
+    L = y0.shape[2]
     slope = next((s for _, s, _ in group_outs if s > 0), 1)
     has_p = any(s == -1 for _, s, _ in group_outs)
-    RP = next(y.shape[1] for y, s, _ in group_outs if s >= 0) \
+    RP = next(y.shape[3] for y, s, _ in group_outs if s >= 0) \
         if any(s >= 0 for _, s, _ in group_outs) \
-        else 2 * first[0].shape[1]
-    # parity halves address rows in pairs -> 16-row groups; the A/B
-    # residue trick generalises to any rpb via the mod-8 split
-    rpb = 16 if has_p else 8 // slope
+        else 2 * first[0].shape[3]
+    # parity halves address rows in pairs; rpb is otherwise free (the
+    # dynamic-roll unskew has no per-row alignment constraint)
+    rpb = 16 if has_p else 8
     assert RP % rpb == 0
-    R2 = next((y[0].shape[1] for y, s, _ in group_outs if s == -1),
+    R2 = next((y[0].shape[3] for y, s, _ in group_outs if s == -1),
               RP // 2)
-    # label axis in LB-lane blocks (grid dim 1): bounds per-step VMEM
-    # (full padded L across every space's row-group block exceeds the
-    # scoped budget for mgm=4's AB + PA + PB input set)
-    LB = min(L, 128)
-    NL = -(-L // LB)
+    def relayout(y):
+        """(Mp, T, L, R) -> (Mp, R, L, T): labels to sublanes, fronts
+        to lanes — ONE pure transpose copy (run_fused keeps T a
+        128-lane multiple precisely so the in-kernel dynamic lane
+        rotate, which rejects unaligned LANE dims, needs no pad op;
+        unaligned sublanes are fine)."""
+        assert y.shape[1] % 128 == 0, "run_fused pads T to 128"
+        return jnp.transpose(y, (0, 3, 2, 1))
+
     args, in_specs, have = [], [], []
     total_bytes = 0
     for y, slope_g, spaces_g in group_outs:
         if slope_g == -1:
-            total_bytes += sum(h.size * 4 for h in y)
-            assert y[0].shape[1] == R2 and R2 >= RP // 2
             for si, sp in enumerate(spaces_g):
                 for half in y:
-                    args.append(half)
+                    yt = relayout(half)
+                    total_bytes += yt.size * 4
+                    args.append(yt)
                     in_specs.append(
-                        pl.BlockSpec((N, rpb // 2, half.shape[2], LB),
+                        pl.BlockSpec((N, rpb // 2, L, yt.shape[3]),
                                      functools.partial(
-                                         lambda k, lb, _si: (_si, k, 0, lb),
+                                         lambda k, _si: (_si, k, 0, 0),
                                          _si=si),
                                      memory_space=pltpu.VMEM))
                 have.append(sp)
             continue
-        assert y.shape[1] == RP
-        Tp_g = y.shape[2]
-        total_bytes += y.size * 4
+        assert y.shape[3] == RP
+        yt = relayout(y)                           # (Mp, RP, L, Tp)
+        total_bytes += yt.size * 4
         for si, sp in enumerate(spaces_g):
-            args.append(y)
+            args.append(yt)
             in_specs.append(
-                pl.BlockSpec((N, rpb, Tp_g, LB),
+                pl.BlockSpec((N, rpb, L, yt.shape[3]),
                              functools.partial(
-                                 lambda k, lb, _si: (_si, k, 0, lb),
+                                 lambda k, _si: (_si, k, 0, 0),
                                  _si=si),
                              memory_space=pltpu.VMEM))
             have.append(sp if slope_g > 0 else "V")
@@ -340,18 +321,17 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
     in_specs = [in_specs[starts[i] + d] for i in perm
                 for d in range(nrefs[i])]
     have = [have[i] for i in perm]
-    Cp = -(-C // 8) * 8
+    Tp0 = min(a.shape[3] for a in args)  # disp/cost lane extent (>= C+8)
     disp, cost = pl.pallas_call(
         functools.partial(_wta_kernel, C=C, slope=slope, rpb=rpb,
-                          RP=RP, R2=R2, L=L, LB=LB, sides=tuple(sides),
+                          RP=RP, R2=R2, L=L, TO=Tp0, sides=tuple(sides),
                           have=tuple(have)),
-        grid=(RP // rpb, NL),
+        grid=(RP // rpb,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((N, 1, Cp, rpb),
-                                lambda k, lb: (0, k, 0, 0),
+        out_specs=[pl.BlockSpec((N, rpb, Tp0),
+                                lambda k: (0, k, 0),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((N, RP // rpb, Cp, rpb),
-                                        jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((N, RP, Tp0), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=total_bytes,
             bytes_accessed=total_bytes,
@@ -359,13 +339,7 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*args)
-
-    def reassemble(x):
-        # (N, RP/rpb, Cp, rpb) -> (N, R, C): row r = k*rpb + j
-        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(N, RP, Cp)
-        return x[:, :R, :C]
-
-    return reassemble(disp), reassemble(cost)
+    return disp[:, :R, :C], cost[:, :R, :C]
 
 
 def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,

@@ -283,10 +283,12 @@ def _kernel(*refs, C, G, D, slope, p1, p2, mgm, dir2off, offs, knight,
 
 
 def use_rolled(use_fh: bool) -> bool:
-    """Opt-in rolled kernel body (MGM_TPU_ROLLED=1): worthwhile only
-    for FH configs, whose unrolled bodies are what OOM the compile
-    helper above G=8."""
-    return use_fh and os.environ.get("MGM_TPU_ROLLED", "0") == "1"
+    """Rolled (fori_loop) kernel body, DEFAULT for FH configs: their
+    ~log2(L)-x-bigger unrolled bodies are what OOM'd the TPU compile
+    helper above G=8, forcing a shallow-block cap and an env escape
+    hatch (MGM_TPU_MAX_G, now gone).  MGM_TPU_ROLLED=0 restores the
+    unrolled FH body for A/B comparison."""
+    return use_fh and os.environ.get("MGM_TPU_ROLLED", "1") != "0"
 
 
 def wavefront_scan(cc_sk, w_sk, lo_sk, hi_sk, *, C, G, p1, p2, mgm, dir2off,
@@ -351,17 +353,15 @@ def pick_block(R: int, L: int, heavy: bool = False):
     lanes = -(-L // 128) * 128
     per_front = R * lanes * 4
     # deeper blocks amortise per-step overhead; prefer more work per
-    # call (G*M), then fewer chunks (larger M).  G capped at 16 by
-    # default ((8,4) and (32,*) OOM the TPU compile helper); the
-    # MGM_TPU_MAX_G env var drops the cap further when the compile
-    # service is under pressure.  The budget is 4G in/out
-    # double-buffered fronts + history + ~9 live intermediates
-    # (front-sized, not G-scaled).
-    g_cap = int(os.environ.get("MGM_TPU_MAX_G", "16"))
+    # call (G*M), then fewer chunks (larger M).  G capped at 16
+    # ((8,4) and (32,*) OOM the TPU compile helper).  The budget is
+    # 4G in/out double-buffered fronts + history + ~9 live
+    # intermediates (front-sized, not G-scaled).
+    g_cap = 16
     if heavy:
-        # FH min-conv bodies are ~log2(L) x bigger; deep unrolls OOM
-        # the TPU compile helper
-        g_cap = min(g_cap, 8)
+        # unrolled FH min-conv bodies (MGM_TPU_ROLLED=0) are
+        # ~log2(L) x bigger; deep unrolls OOM the TPU compile helper
+        g_cap = 8
     for G, M in ((16, 2), (8, 2), (16, 1), (8, 1)):
         if G <= g_cap and (4 * G + 13) * M * per_front <= VMEM_LIMIT:
             return G, M

@@ -37,7 +37,8 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                     checkpoint_dir: str | None = None,
                     mesh=None, verbose: bool = False,
                     dmin_img: np.ndarray | None = None,
-                    dmax_img: np.ndarray | None = None) -> dict:
+                    dmax_img: np.ndarray | None = None,
+                    batch: int = 1) -> dict:
     """Solve a (H, W, C) scene pair tile-by-tile.
 
     Returns {'disp', 'cost'} scene-sized float32 arrays (left side).
@@ -46,6 +47,11 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     `checkpoint_dir`: persist each finished tile and skip tiles already
     present (resume after preemption).  `dmin_img`/`dmax_img`: scene
     per-pixel disparity windows (-m/-M), cropped per tile.
+    `batch`: solve up to this many tiles per device launch set
+    (stereo.compute_disparity_batch — every context crop has the same
+    shape by construction, so they stack): small tiles are dominated
+    by per-launch overheads, which batching amortises.  batch > 1
+    requires constant windows and no mesh.
     """
     H, W, _ = u.shape
     assert v.shape == u.shape, "rectified pairs share geometry"
@@ -54,7 +60,11 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     cost = np.full((H, W), np.nan, np.float32)
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
+    if dmin_img is not None or mesh is not None:
+        batch = 1
 
+    # enumerate pending tile jobs (loading checkpointed ones up front)
+    jobs = []
     n_solved = 0
     for y0 in _tile_starts(H, tile):
         for x0 in _tile_starts(W, tile):
@@ -77,27 +87,50 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
             ctx_h = min(H, tile + 2 * margin)
             ctx_w = min(W, tile + 2 * margin + pad_l + pad_r)
             cy0 = min(max(0, y0 - margin), H - ctx_h)
-            cy1 = cy0 + ctx_h
             cx0 = min(max(0, x0 - margin - pad_l), W - ctx_w)
-            cx1 = cx0 + ctx_w
-            kw = {}
-            if dmin_img is not None:
-                kw = dict(dmin_img=dmin_img[cy0:cy1, cx0:cx1],
-                          dmax_img=dmax_img[cy0:cy1, cx0:cx1])
-            res = compute_disparity(
-                u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
-                outputs=("disp", "cost"), mesh=mesh, **kw)
-            oy, ox = y0 - cy0, x0 - cx0
-            td = res["disp"][oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
-            tc = res["cost"][oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
-            disp[y0:y1, x0:x1] = td
-            cost[y0:y1, x0:x1] = tc
-            n_solved += 1
-            if ckpt:
-                save_state(ckpt, disp=td, cost=tc)
-            if verbose:
-                print(f"[tile] ({y0},{x0})..({y1},{x1}) solved",
-                      flush=True)
+            jobs.append((y0, x0, y1, x1, cy0, cx0, cy0 + ctx_h,
+                         cx0 + ctx_w, ckpt))
+
+    def finish(job, td, tc):
+        nonlocal n_solved
+        y0, x0, y1, x1, cy0, cx0, _, _, ckpt = job
+        oy, ox = y0 - cy0, x0 - cx0
+        td = td[oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
+        tc = tc[oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
+        disp[y0:y1, x0:x1] = td
+        cost[y0:y1, x0:x1] = tc
+        n_solved += 1
+        if ckpt:
+            save_state(ckpt, disp=td, cost=tc)
+        if verbose:
+            print(f"[tile] ({y0},{x0})..({y1},{x1}) solved", flush=True)
+
+    for i in range(0, len(jobs), max(batch, 1)):
+        grp = jobs[i:i + max(batch, 1)]
+        if len(grp) > 1 or (batch > 1 and len(jobs) > 1):
+            from .stereo import compute_disparity_batch
+            # pad a short trailing group to the full batch size by
+            # repeating the last tile: one compiled program for every
+            # group (per-shape compiles cost minutes on a remote
+            # compile service)
+            padded = grp + [grp[-1]] * (batch - len(grp))
+            us = np.stack([u[j[4]:j[6], j[5]:j[7]] for j in padded])
+            vs = np.stack([v[j[4]:j[6], j[5]:j[7]] for j in padded])
+            res = compute_disparity_batch(us, vs, cfg,
+                                          outputs=("disp", "cost"))
+            for k, job in enumerate(grp):
+                finish(job, res["disp"][k], res["cost"][k])
+        else:
+            for job in grp:
+                y0, x0, y1, x1, cy0, cx0, cy1, cx1, ckpt = job
+                kw = {}
+                if dmin_img is not None:
+                    kw = dict(dmin_img=dmin_img[cy0:cy1, cx0:cx1],
+                              dmax_img=dmax_img[cy0:cy1, cx0:cx1])
+                res = compute_disparity(
+                    u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
+                    outputs=("disp", "cost"), mesh=mesh, **kw)
+                finish(job, res["disp"], res["cost"])
     return {"disp": disp, "cost": cost, "tiles_solved": n_solved}
 
 

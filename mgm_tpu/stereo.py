@@ -201,10 +201,13 @@ def _tighten(disp, flo, fhi, gmin, L):
     return flo, fhi, s_lo, s_hi
 
 
+_I16_NAN = -32768  # NaN sentinel in packed integer disparities
+
+
 @partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides",
-                                   "want_backflow"))
+                                   "want_backflow", "pack_i16"))
 def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides,
-                 want_backflow):
+                 want_backflow, pack_i16=False):
     disp = post.median_filter(disp, radius=median_radius)
     disp_nolr = disp
     if n_sides == 2 and test_lr:
@@ -212,7 +215,124 @@ def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides,
         d_r = post.leftright_test(disp[1], disp[0], lr_tau)
         disp = jnp.stack([d_l, d_r])
     back = post.backflow(disp[0], v, u) if want_backflow else None
+    if pack_i16:
+        # without subpixel refinement disparities are integers (+ NaN
+        # invalidations): ship them to the host as int16 with a NaN
+        # sentinel — device->host fetch is the dominant small-problem
+        # cost on remote-attached TPUs (tunnel at ~30-90 MB/s)
+        pk = lambda d: jnp.where(jnp.isnan(d), _I16_NAN,
+                                 d).astype(jnp.int16)
+        disp, disp_nolr = pk(disp), pk(disp_nolr)
     return disp, disp_nolr, back
+
+
+def _unpack_i16(a: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the _postprocess int16 packing."""
+    if a.dtype != np.int16:
+        return a
+    f = a.astype(np.float32)
+    f[a == _I16_NAN] = np.nan
+    return f
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sides"))
+def _prep_fused_batch(us, vs, *, cfg: MGMConfig, n_sides: int):
+    """Batched scrub + weights + prefilter: (K, H, W, C) pairs ->
+    (K, H, W, Cch) preprocessed stacks + (K*n_sides, H, W, 8) weights
+    (pair-major, matching the batched `sides` layout)."""
+    up, vp, w8, _, _ = jax.vmap(
+        lambda u, v: _prep_core(u, v, cfg, n_sides))(us, vs)
+    K = w8.shape[0]
+    return up, vp, w8.reshape((K * n_sides,) + w8.shape[2:])
+
+
+@partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides"))
+def _postprocess_batch(disp, lr_tau, *, median_radius, test_lr,
+                       n_sides):
+    """Median + LR for (K*n_sides, H, W) pair-major disparity stacks."""
+    disp = post.median_filter(disp, radius=median_radius)
+    if n_sides == 2 and test_lr:
+        lr = jax.vmap(post.leftright_test, in_axes=(0, 0, None))
+        d_l = lr(disp[0::2], disp[1::2], lr_tau)
+        d_r = lr(disp[1::2], disp[0::2], lr_tau)
+        disp = jnp.stack([d_l, d_r], 1).reshape(disp.shape)
+    return disp
+
+
+def compute_disparity_batch(us, vs, cfg: MGMConfig,
+                            outputs: tuple = ("disp", "cost")) -> dict:
+    """Solve K independent rectified pairs in ONE set of device
+    launches: us, vs are (K, H, W, C) stacks sharing one config and
+    disparity range.  The fused kernels batch over their plane axis
+    (pair x side x space), so the per-launch pipeline fill, dispatch
+    round-trips and host prep amortise over K — the regime of scene
+    tiles (runner.tiled_disparity batch=) and production serving,
+    where individual small problems are overhead-dominated.
+
+    Returns {'disp': (K, H, W), 'cost': (K, H, W)} (+ _right variants
+    when cfg.test_lr), each pair solved exactly as
+    compute_disparity(us[k], vs[k], cfg) modulo float association.
+    Falls back to a sequential loop off the fused path (NCC distance,
+    CPU, TSGM_ITER > 1)."""
+    us = np.asarray(us)
+    vs = np.asarray(vs)
+    if us.dtype != np.uint8:
+        us = np.asarray(us, np.float32)
+    if vs.dtype != np.uint8:
+        vs = np.asarray(vs, np.float32)
+    K, H, W, C = us.shape
+    fused = _fused_backend(cfg, False)
+    if fused is None or cfg.iterations != 1 or cfg.debug:
+        outs = [compute_disparity(us[k], vs[k], cfg, outputs=outputs)
+                for k in range(K)]
+        return {key: np.stack([o[key] for o in outs])
+                for key in outs[0]}
+
+    # constant windows exactly as the single-pair path derives them:
+    # both sides span cfg.dmax - cfg.dmin + 1 labels, the right solve
+    # over the negated range (mgm.cc:368)
+    n_sides = 2 if cfg.test_lr else 1
+    L = cfg.dmax - cfg.dmin + 1
+    gmins = (cfg.dmin, -cfg.dmax)[:n_sides]
+    sides_pair = tuple((int(g), 0, int(L) - 1) for g in gmins)
+    sides = sides_pair * K
+    p1, p2 = cfg.p1 * C, cfg.p2 * C
+
+    us_d = jnp.asarray(_u8_lossless(us))
+    vs_d = jnp.asarray(_u8_lossless(vs))
+    up, vp, w8 = _prep_fused_batch(us_d, vs_d, cfg=cfg, n_sides=n_sides)
+    use_weights = cfg.a_p2 != 1.0
+    if use_weights:
+        use_weights = bool(np.asarray(_any_weighted(w8)))
+
+    want_S = cfg.refinement != "none"
+    s_lo = s_hi = gmin_j = None
+    if want_S:
+        s_lo, s_hi, _, _, gmin_j = _const_arrays(
+            H=H, W=W, los=tuple(lo for _, lo, _ in sides),
+            his=tuple(hi for _, _, hi in sides),
+            flos=tuple(float(g) for g, _, _ in sides),
+            fhis=tuple(float(g + L - 1) for g, _, _ in sides),
+            gmins=tuple(g for g, _, _ in sides))
+    S, disp, cost = mgm_solve_fused(
+        up, vp, w8 if use_weights else None, s_lo, s_hi,
+        sides=sides, L=int(L), ndir=cfg.ndir, mgm=cfg.mgm,
+        p1=p1, p2=p2, mode=cfg.distance, nch=int(up.shape[-1]),
+        trunc_dist=cfg.trunc_dist, use_fh=cfg.use_trunc_linear,
+        use_weights=use_weights, fix_overcount=cfg.fix_overcount,
+        backend=fused, want_S=want_S, const_sw=not want_S)
+    if want_S:
+        disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
+                             method=cfg.refinement)
+    disp = _postprocess_batch(disp, jnp.float32(cfg.lr_tau),
+                              median_radius=cfg.median_radius,
+                              test_lr=cfg.test_lr, n_sides=n_sides)
+    out = {"disp": disp[0::n_sides], "cost": cost[0::n_sides]}
+    if n_sides == 2:
+        out["disp_right"] = disp[1::2]
+        out["cost_right"] = cost[1::2]
+    out = {k: a for k, a in out.items() if k in outputs}
+    return {k: np.asarray(a) for k, a in jax.device_get(out).items()}
 
 
 def _mark(tag, prof, x=None):
@@ -519,10 +639,13 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         disp = jnp.where(row_ok, disp, jnp.nan)
 
     want_back = outputs is None or "backflow" in outputs
+    pack_i16 = (cfg.refinement == "none"
+                and max(abs(cfg.dmin), abs(cfg.dmax)) + 4 * cfg.iterations
+                < 32000)
     disp, disp_nolr, back = _postprocess(
         disp, u_j, v_j, jnp.float32(cfg.lr_tau),
         median_radius=cfg.median_radius, test_lr=cfg.test_lr,
-        n_sides=n_sides, want_backflow=want_back)
+        n_sides=n_sides, want_backflow=want_back, pack_i16=pack_i16)
     _mark("postprocess", prof, (disp, disp_nolr))
 
     out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0]}
@@ -543,6 +666,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                for k, a in out.items()}
     else:
         out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    out = {k: _unpack_i16(a) for k, a in out.items()}
     if hpad:
         out = {k: a[:H] for k, a in out.items()}  # drop the fake rows
     _mark("device_get", prof)

@@ -44,9 +44,17 @@ MATRIX = {
     # cfg3 crop stands in for.  Throughput counts SCENE work
     # (2*H*W*L), not the tiles' context overlap; the reference solves
     # the same scene at its cfg3 rate (its cost is linear in pixels).
+    # 512-px tiles (the 1116-px round-3 tile tripped the remote
+    # compile service), 5 tiles per batched launch set: the 25 tiles
+    # go out as 5 identical-shape compute_disparity_batch calls.
     "cfg3_scene": ("satellite", {"test_lr": True, "scene": (8, 8),
-                                 "tile": 1116, "margin": 64},
+                                 "tile": 512, "margin": 64, "batch": 5},
                    "satellite", 2.8),
+    # the serving shape: 8 independent satellite pairs solved in ONE
+    # launch set (stereo.compute_disparity_batch); throughput counts
+    # all 8 pairs — the reference solves them sequentially at 2.8
+    "cfg3_b8": ("satellite", {"test_lr": True, "pairs": 8},
+                "satellite", 2.8),
 }
 
 
@@ -78,7 +86,9 @@ def main():
         preset, over, pair, ref_mpds = MATRIX[name]
         over = dict(over)
         per_pixel = over.pop("per_pixel", False)
-        over_static = {k: over.pop(k) for k in ("scene", "tile", "margin")
+        over_static = {k: over.pop(k)
+                       for k in ("scene", "tile", "margin", "batch",
+                                 "pairs")
                        if k in over}
         cfg = get_preset(preset, **(FOUNTAIN | over if pair == "fountain"
                                     else over))
@@ -98,7 +108,18 @@ def main():
             def run():
                 return tiled_disparity(u, v, cfg,
                                        tile=over_static["tile"],
-                                       margin=over_static["margin"])
+                                       margin=over_static["margin"],
+                                       batch=over_static.get("batch", 1))
+        elif over_static.get("pairs"):
+            from mgm_tpu.stereo import compute_disparity_batch
+            K = over_static["pairs"]
+            us = np.ascontiguousarray(np.stack([u] * K))
+            vs = np.ascontiguousarray(np.stack([v] * K))
+            mpd *= K
+
+            def run():
+                return compute_disparity_batch(us, vs, cfg,
+                                               outputs=("disp", "cost"))
         else:
             kw = {}
             if per_pixel:

@@ -373,3 +373,35 @@ def test_fused_dense_fold_escape_hatch(rng, monkeypatch):
         np.testing.assert_array_equal(fx, fy, err_msg=k)
         np.testing.assert_allclose(y[fx], x[fx], atol=2e-3, rtol=1e-5,
                                    err_msg=k)
+
+
+def test_batched_pairs_match_single(rng, monkeypatch):
+    """compute_disparity_batch solves K pairs in one launch set; each
+    pair must equal its individual compute_disparity solve bitwise
+    (the fused kernels batch over the plane axis, so per-plane math is
+    identical)."""
+    from mgm_tpu.config import MGMConfig
+    from mgm_tpu.stereo import compute_disparity, compute_disparity_batch
+
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    H, W, K = 18, 26, 3
+    us, vs = [], []
+    for k in range(K):
+        u = rng.uniform(0, 50, (H, W, 1)).astype(np.float32)
+        v = (np.roll(u, 2 + k, axis=1)
+             + rng.normal(0, 1, (H, W, 1)).astype(np.float32))
+        us.append(u)
+        vs.append(v)
+    us, vs = np.stack(us), np.stack(vs)
+    for cfg in (MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=2, test_lr=True),
+                MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3,
+                          distance="census", prefilter="census",
+                          use_trunc_linear=True, p1=2, p2=100,
+                          refinement="vfit", median_radius=1,
+                          test_lr=True)):
+        out = compute_disparity_batch(us, vs, cfg)
+        for k in range(K):
+            ref = compute_disparity(us[k], vs[k], cfg,
+                                    outputs=("disp", "cost"))
+            np.testing.assert_array_equal(out["disp"][k], ref["disp"])
+            np.testing.assert_array_equal(out["cost"][k], ref["cost"])

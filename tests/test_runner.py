@@ -100,3 +100,16 @@ def test_tiled_per_pixel_windows(rng):
                           dmin_img=dmin_img, dmax_img=dmax_img)
     np.testing.assert_array_equal(out["disp"], ref["disp"])
     np.testing.assert_array_equal(out["cost"], ref["cost"])
+
+
+def test_tiled_batch_matches_sequential(rng, monkeypatch):
+    """batch>1 groups same-shape tile crops into one launch set; the
+    mosaic must equal the sequential tiling exactly (and pad a short
+    trailing group without corrupting it)."""
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    u, v = _pair(rng)
+    a = tiled_disparity(u, v, CFG, tile=16, margin=4)
+    b = tiled_disparity(u, v, CFG, tile=16, margin=4, batch=3)
+    assert a["tiles_solved"] == b["tiles_solved"]
+    np.testing.assert_array_equal(a["disp"], b["disp"])
+    np.testing.assert_array_equal(a["cost"], b["cost"])
