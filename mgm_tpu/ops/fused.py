@@ -36,6 +36,7 @@ from . import pallas_fused as pf
 from .aggregate import PASS_TABLE, aggregate
 from .common import INF
 from .cost import build_cost_volume, window_mask, _bt_aux
+from .refine import taps_from_S
 
 # image-space causal dirs dir1..dir4 per pass (mgm_core.cc:463-471);
 # (dx, dy) with dy the row offset
@@ -476,13 +477,18 @@ def assemble_groups(outs, *, N, C, R, interpret=False):
     total = None
     for raw, slope_g, spaces_g in outs:
         if slope_g == P_SLOPE:
-            part = None
+            # fold parity spaces onto the RUNNING total one at a time:
+            # the fused WTA kernel (pallas_fused._wta_kernel) and the
+            # sharded pipeline (fused_shard) both sum spaces strictly
+            # left-to-right (A,B,V,PA,PB), and bitwise equality across
+            # the three assemblies depends on one association order
             for si, sp in enumerate(spaces_g):
                 pair = tuple(
                     jnp.transpose(raw[h][si * N:(si + 1) * N],
                                   (0, 3, 1, 2)) for h in range(2))
                 vol = _unskew_packed(pair, C, R, sp)
-                part = vol if part is None else part + vol
+                total = vol if total is None else total + vol
+            continue
         elif slope_g == 0:
             # V unskew: t = c, pure slice of the relayout
             part = jnp.transpose(raw, (0, 3, 1, 2))[:, :R, :C, :]
@@ -569,8 +575,12 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
     force_dense_fold = fix_overcount and (
         os.environ.get("MGM_TPU_FOLD", "auto") == "dense")
 
-    if (groups and not leftover and not want_S and const_sw
-            and not force_dense_fold):
+    # want_S="taps": return the (N, H, 4, W) S taps for subpixel
+    # refinement in the S slot — the fused WTA emits them directly, so
+    # refining configs skip the materialised volume AND its gather
+    want_taps = want_S == "taps"
+    if (groups and not leftover and (not want_S or want_taps)
+            and const_sw and not force_dense_fold):
         # fused unskew+WTA: skip the unskewed volume entirely
         group_outs = run_fused(
             groups, lefts, rights, w8, sides=sides, L=L, C=W,
@@ -578,14 +588,23 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             tmax=tmax, use_fh=use_fh, use_weights=use_weights,
             kappa=kappa, interpret=interpret, assemble=False)
         if pf.wta_vmem_bytes(group_outs, N) <= int(0.85 * pf.VMEM_LIMIT):
-            disp, cost = pf.unskew_wta_planes(group_outs, W, H, sides,
-                                              interpret)
+            res = pf.unskew_wta_planes(group_outs, W, H, sides,
+                                       interpret, want_taps=want_taps)
+            if want_taps:
+                disp, cost, taps = res
+                return taps, disp, cost
+            disp, cost = res
             return None, disp, cost
         # geometry too large for the one-call WTA: materialised assembly
         lsum = assemble_groups(group_outs, N=N, C=W, R=H,
                                interpret=interpret)
-        return assemble_swta(lsum, s_lo, s_hi, sides=sides, L=L,
-                             ndir=ndir, fix_overcount=fix_overcount)
+        S, disp, cost = assemble_swta(lsum, s_lo, s_hi, sides=sides, L=L,
+                                      ndir=ndir,
+                                      fix_overcount=fix_overcount)
+        if want_taps:
+            gm = jnp.asarray([g for (g, lo, hi) in sides], jnp.int32)
+            return taps_from_S(S, disp, gm), disp, cost
+        return S, disp, cost
 
     # The WTA overcount fold S[o] += kappa*CC[o] (mgm_core.cc:596-599)
     # goes through the dense leftover volume when one exists: folding it
@@ -643,10 +662,14 @@ def mgm_solve_fused(u_p, v_p, w8, s_lo, s_hi, *, sides, L: int, ndir: int,
             part = part + kappa * cc
         lsum = part if lsum is None else lsum + part
 
-    return assemble_swta(lsum, s_lo, s_hi, sides=sides, L=L, ndir=ndir,
-                         fix_overcount=fix_overcount,
-                         lo_px=lo_px if per_pixel else None,
-                         hi_px=hi_px if per_pixel else None)
+    S, disp, cost = assemble_swta(lsum, s_lo, s_hi, sides=sides, L=L,
+                                  ndir=ndir, fix_overcount=fix_overcount,
+                                  lo_px=lo_px if per_pixel else None,
+                                  hi_px=hi_px if per_pixel else None)
+    if want_taps:
+        gm = jnp.asarray([g for (g, lo, hi) in sides], jnp.int32)
+        return taps_from_S(S, disp, gm), disp, cost
+    return S, disp, cost
 
 
 def assemble_swta(lsum, s_lo, s_hi, *, sides, L: int, ndir: int,

@@ -155,7 +155,8 @@ def unskew_planes(y, C: int, R: int, slope: int, spaces,
     return out[:, :R]
 
 
-def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, TO, sides, have):
+def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, TO, sides, have,
+                want_taps=False):
     """Fused unskew + cross-space sum + WTA for one row group.
 
     Replaces unskew -> space-sum -> S-window -> argmin/min
@@ -177,7 +178,10 @@ def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, TO, sides, have):
     image layout (rows x column-lanes)."""
     n_in = sum(2 if sp in ("PA", "PB") else 1 for sp in have)
     in_refs = refs[:n_in]
-    d_ref, c_ref = refs[n_in:]
+    if want_taps:
+        d_ref, c_ref, t_ref = refs[n_in:]
+    else:
+        d_ref, c_ref = refs[n_in:]
     k = pl.program_id(0)
     A0B = slope * (RP - 1)
     A0P = R2 - 1  # parity halves' (possibly 128-padded) half-row extent
@@ -221,6 +225,19 @@ def _wta_kernel(*refs, C, slope, rpb, RP, R2, L, TO, sides, have):
                           keepdims=True)
             d_ref[n, pl.ds(j, 1), :] = (gmin + idx).astype(jnp.float32)
             c_ref[n, pl.ds(j, 1), :] = cost
+            if want_taps:
+                # the 4 S taps S[oc-1 .. oc+2] the subpixel fits read
+                # (mgm_refine.h:40-70): RAW window values — every tap a
+                # refinement actually uses lies inside the label window
+                # (subpixel_refine's `ok` gate), where S == s.  One-hot
+                # sublane selects replace the dense path's
+                # take_along_axis gather on a materialised S volume.
+                oc = jnp.clip(idx, 1, max(L - 3, 1))
+                for kk in range(4):
+                    pos = jnp.clip(oc - 1 + kk, 0, L - 1)
+                    tap = jnp.min(jnp.where(lab == pos, s, INF), axis=0,
+                                  keepdims=True)
+                    t_ref[n, pl.ds(j, 1), kk] = tap
 
 
 def wta_vmem_bytes(group_outs, N: int) -> int:
@@ -248,9 +265,12 @@ def wta_vmem_bytes(group_outs, N: int) -> int:
 
 
 def unskew_wta_planes(group_outs, C: int, R: int, sides,
-                      interpret=False):
+                      interpret=False, want_taps=False):
     """Raw fused-launch outputs -> (disp, cost), each (N, R, C)
-    float32, N = len(sides).
+    float32, N = len(sides); want_taps additionally returns the
+    (N, R, 4, C) S taps S[oc-1..oc+2] for subpixel refinement
+    (ops/refine.subpixel_refine_taps), so refining configs skip the
+    materialised S volume entirely.
 
     group_outs: [(y, slope_g, spaces_g), ...] as returned by
     run_fused(assemble=False): y is the NATIVE (Mp, Tp_g, L, RP) launch
@@ -322,16 +342,23 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
                 for d in range(nrefs[i])]
     have = [have[i] for i in perm]
     Tp0 = min(a.shape[3] for a in args)  # disp/cost lane extent (>= C+8)
-    disp, cost = pl.pallas_call(
+    out_specs = [pl.BlockSpec((N, rpb, Tp0), lambda k: (0, k, 0),
+                              memory_space=pltpu.VMEM)] * 2
+    out_shape = [jax.ShapeDtypeStruct((N, RP, Tp0), jnp.float32)] * 2
+    if want_taps:
+        out_specs.append(pl.BlockSpec((N, rpb, 4, Tp0),
+                                      lambda k: (0, k, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((N, RP, 4, Tp0),
+                                              jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_wta_kernel, C=C, slope=slope, rpb=rpb,
                           RP=RP, R2=R2, L=L, TO=Tp0, sides=tuple(sides),
-                          have=tuple(have)),
+                          have=tuple(have), want_taps=want_taps),
         grid=(RP // rpb,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((N, rpb, Tp0),
-                                lambda k: (0, k, 0),
-                                memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((N, RP, Tp0), jnp.float32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=total_bytes,
             bytes_accessed=total_bytes,
@@ -339,13 +366,16 @@ def unskew_wta_planes(group_outs, C: int, R: int, sides,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*args)
-    return disp[:, :R, :C], cost[:, :R, :C]
+    disp, cost = res[0][:, :R, :C], res[1][:, :R, :C]
+    if want_taps:
+        return disp, cost, res[2][:, :R, :, :C]
+    return disp, cost
 
 
 def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
                   p1, p2, mgm, mode, nch, tmax, use_fh, use_weights, kappa,
                   reverse, accumulate, per_pixel, fh_restrict, ship_lane,
-                  inject_lane, RPg, use_halo):
+                  inject_lane, RPg, use_halo, parity=False):
     """One G-front block of the fused recursion on a device's LOCAL
     rows, with explicit carried state — the building block of the
     sharded pipeline (parallel/fused_shard.py): the surrounding
@@ -362,27 +392,44 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
     per-front boundary row is emitted for the next device.
 
     refs: scal (SMEM int32 [t0, r0]: global front/row offsets of this
-      block), U_blk (Mp, Cch, G, Rl), v_slab (Mp, Cch, SLAB, Rl),
-      [W_blk (Ml, ncombo, G, Rl)], [lo_blk, hi_blk (Mp, G, Rl)],
-      hist_in (D, Ml, L, Rl), mins_in (D, Ml, Rl),
-      halo_f (G+16, Ml, L) — the neighbour's boundary rows, front t at
-      index t - t0 + 8 (their cached minima are recomputed here: min is
-      order-independent, so the value is bitwise the sender's),
-      [acc_blk (Mp, G, L, Rl)];
-    outputs: out_blk (Mp, G, L, Rl), hist_out, mins_out,
+      block — r0 is the global HALF-row of lane 0 for parity blocks),
+      U_blk (Mp, Cch, G, Rl), v_slab (Mp, Cch, SLAB, Rl) (parity: an
+      (even, odd) front-parity pair, each (Mp, Cch, SLAB, Rl) over
+      HALF-fronts), [W_blk (Ml, ncombo, G, Rl)],
+      [lo_blk, hi_blk (Mp, G, Rl)], hist_in (D, Ml, L, Rl),
+      mins_in (D, Ml, Rl), halo_f (G+16, Ml, L) — the neighbour's
+      boundary rows, front t at index t - t0 + 8 (their cached minima
+      are recomputed here: min is order-independent, so the value is
+      bitwise the sender's), [acc_blk (Mp, G, L, Rl); parity: an
+      (even, odd) pair of (Mp, G//2, L, Rl)];
+    outputs: out_blk (same shape rule as acc_blk), hist_out, mins_out,
       ship_f (G, Ml, L).
+
+    Parity blocks use the PACKED layout of the resident `_kernel`:
+    lane rho holds image row 2*(r0 + rho) + (pi ^ parf) at front
+    parity pi = t & 1; combos are (lag, dy, parf) triples whose lane
+    roll is derived per front (_delta_roll); labels step fronts by 2,
+    so the v windows come from the two per-front-parity slabs.
     """
     it = iter(refs)
     scal = next(it)
     u_ref = next(it)
-    v_slab = next(it)
+    if parity:
+        v_slab_e, v_slab_o = next(it), next(it)
+    else:
+        v_slab = next(it)
     w_ref = next(it) if use_weights else None
     lo_ref = next(it) if per_pixel else None
     hi_ref = next(it) if per_pixel else None
     hist_in, mins_in = next(it), next(it)
     halo_f = next(it) if use_halo else None
-    acc_ref = next(it) if accumulate else None
-    out_ref, hist_out, mins_out, ship_f = it
+    if accumulate:
+        acc_refs = (next(it), next(it)) if parity else (next(it),)
+    if parity:
+        out_e, out_o, hist_out, mins_out, ship_f = it
+        outs = (out_e, out_o)
+    else:
+        out_ref, hist_out, mins_out, ship_f = it
 
     t0 = scal[0]
     r0 = scal[1]
@@ -392,17 +439,26 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
     lab = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, Rl), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Rl), 1)
-    row_im = r0 + row                      # global image rows
 
     us = range(G - 1, -1, -1) if reverse else range(G)
     for u in us:
         t = t0 + u
+        pi = u & 1  # front parity (t0 is even: G and the stagger are)
         u_t = u_ref[:, :, u, :]
-        v_win = v_slab[:, :, u:u + L, :]
+        if parity:
+            v_win = (v_slab_e, v_slab_o)[pi][:, :, (u >> 1):(u >> 1) + L, :]
+            th = t0 // 2 + (u >> 1)
+        else:
+            v_win = v_slab[:, :, u:u + L, :]
         raw = _cost_front(u_t, v_win, mode, nch)
-        cc, cols, wins = [], [], []
+        cc, cols, rows_im, wins = [], [], [], []
         for i, (phase, lo, hi, A0, ssgn, fold, parf) in enumerate(planes):
-            col = t - A0 + ssgn * slope * row_im
+            if parity:
+                col = th - A0 + ssgn * (r0 + row)
+                row_im = 2 * (r0 + row) + (pi ^ parf)
+            else:
+                col = t - A0 + ssgn * slope * (r0 + row)
+                row_im = r0 + row          # global image rows
             e = jnp.minimum(raw[i], tmax)
             q = col + phase + lab
             e = jnp.where((q >= 0) & (q < C), e, tmax)
@@ -417,13 +473,19 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
             ok = in_win & (col >= 0) & (col < C) & (row_im < R_eff)
             cc.append(jnp.where(ok, e, INF))
             cols.append(col)
+            rows_im.append(row_im)
             wins.append(in_win)
 
         if fh_restrict:
-            mask_all = jnp.stack([wins[pi] for pi, _, _ in mspecs])
+            mask_all = jnp.stack([wins[pi_] for pi_, _, _ in mspecs])
 
         msgs = []
-        for ci, (lag, roll) in enumerate(combos):
+        for ci, combo in enumerate(combos):
+            if parity:
+                lag, dy, parf_c = combo
+                roll = -_delta_roll(dy, pi ^ parf_c)
+            else:
+                lag, roll = combo
             f, mn = hist[lag - 1]
             if roll:
                 f = _lane_roll(f, roll, INF)
@@ -462,6 +524,7 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
                     e = e / float(mgm)
             need_l, need_r, need_t, need_b = border
             col = cols[plane_i]
+            row_im = rows_im[plane_i]
             interior = (col >= (1 if need_l else 0)) & (col < C)
             if need_r:
                 interior &= col <= C - 2
@@ -479,9 +542,14 @@ def _block_kernel(*refs, planes, mspecs, combos, C, R_eff, L, G, D, slope,
             o = sums[i] if sums[i] is not None else jnp.zeros_like(cc[i])
             if fold:
                 o = o + kappa * cc[i]
-            if accumulate:
-                o = acc_ref[i, u] + o
-            out_ref[i, u] = o
+            if parity:
+                if accumulate:
+                    o = acc_refs[pi][i, u >> 1] + o
+                outs[pi][i, u >> 1] = o
+            else:
+                if accumulate:
+                    o = acc_refs[0][i, u] + o
+                out_ref[i, u] = o
         new = jnp.stack(news)
         new_min = jnp.min(new, axis=-2)
         ship_f[u] = new[:, :, ship_lane]
@@ -496,11 +564,14 @@ def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
                 halo_f, acc_blk, *, planes, mspecs, combos, C,
                 R_eff, L, G, slope, p1, p2, mgm, mode, nch, tmax, use_fh,
                 use_weights, kappa, reverse, per_pixel, fh_restrict,
-                ship_lane, inject_lane, RPg, interpret=False):
+                ship_lane, inject_lane, RPg, parity=False,
+                interpret=False):
     """pallas_call wrapper for one sharded-pipeline block (grid-less).
     halo_f=None disables shard-edge injection entirely: lane rolls read
-    the plain INF edge fill (the apron-band V-group pipeline refreshes
+    the plain INF edge fill (the apron-band V/parity pipelines refresh
     neighbour state between blocks instead of injecting per front).
+    Parity blocks pass v_slab and acc_blk as (even, odd) front-parity
+    pairs and return the out block as such a pair.
     Returns (out_blk, hist', mins', ship_f)."""
     Mp, Cch, _, Rl = U_blk.shape
     D = max(c[0] for c in combos)
@@ -513,11 +584,16 @@ def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
         tmax=float(tmax), use_fh=use_fh, use_weights=use_weights,
         kappa=float(kappa), reverse=reverse, accumulate=acc_blk is not None,
         per_pixel=per_pixel, fh_restrict=fh_restrict, ship_lane=ship_lane,
-        inject_lane=inject_lane, RPg=RPg, use_halo=use_halo)
-    args = [scal, U_blk, v_slab]
+        inject_lane=inject_lane, RPg=RPg, use_halo=use_halo, parity=parity)
+    args = [scal, U_blk]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if parity:
+        args += [v_slab[0], v_slab[1]]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    else:
+        args.append(v_slab)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if use_weights:
         args.append(W_blk)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -531,24 +607,34 @@ def fused_block(scal, U_blk, v_slab, W_blk, lo_blk, hi_blk, hist, mins,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     aliases = {}
     if acc_blk is not None:
-        aliases = {len(args): 0}
-        args.append(acc_blk)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    out_shape = [
-        jax.ShapeDtypeStruct((Mp, G, L, Rl), jnp.float32),
+        if parity:
+            aliases = {len(args): 0, len(args) + 1: 1}
+            args += [acc_blk[0], acc_blk[1]]
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        else:
+            aliases = {len(args): 0}
+            args.append(acc_blk)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    out_blocks = ([jax.ShapeDtypeStruct((Mp, G // 2, L, Rl), jnp.float32)]
+                  * 2 if parity
+                  else [jax.ShapeDtypeStruct((Mp, G, L, Rl), jnp.float32)])
+    out_shape = out_blocks + [
         jax.ShapeDtypeStruct(hist.shape, jnp.float32),
         jax.ShapeDtypeStruct(mins.shape, jnp.float32),
         jax.ShapeDtypeStruct((G, Ml, L), jnp.float32),
     ]
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*args)
+    if parity:
+        return (res[0], res[1]), res[2], res[3], res[4]
+    return res
 
 
 def _u1(u_t, c):

@@ -68,6 +68,44 @@ _FITS = {"vfit": _vfit,
 
 
 @partial(jax.jit, static_argnames=("method",))
+def subpixel_refine_taps(taps, disp, cost, s_lo, s_hi, gmin, *,
+                         method: str):
+    """Refine from pre-gathered S taps instead of the full volume.
+
+    taps: (N, H, 4, W) holding S[oc-1 .. oc+2] at oc = clip(o, 1, L-3)
+    — emitted directly by the fused unskew+WTA kernel
+    (ops/pallas_fused._wta_kernel want_taps), so refining configs never
+    materialise the (N, H, W, L) aggregated volume (the dense path's
+    take_along_axis gather lowered to ~10 ns/element on TPU, a 41 ms
+    sink on fountain23).  Numerics are those of subpixel_refine: the
+    `ok` gate ([o-1, o+2] inside the S window, mgm_refine.h:44-49)
+    guarantees every *consumed* tap lies where the kernel's space-sum
+    equals the assembled S."""
+    if method == "none":
+        return disp, cost
+    o = (disp - gmin[:, None, None].astype(jnp.float32)).astype(jnp.int32)
+    ok = (o - 1 >= s_lo) & (o + 2 <= s_hi)
+    vmin, dx = _FITS[method](taps[:, :, 0], taps[:, :, 1],
+                             taps[:, :, 2], taps[:, :, 3])
+    disp2 = (o + dx).astype(jnp.float32) + gmin[:, None, None]
+    return (jnp.where(ok, disp2, disp).astype(jnp.float32),
+            jnp.where(ok, vmin, cost).astype(jnp.float32))
+
+
+def taps_from_S(S, disp, gmin):
+    """The (N, H, 4, W) tap layout gathered from a materialised S —
+    the fallback feeding subpixel_refine_taps when the fused WTA
+    kernel was not eligible (per-pixel windows, TSGM_ITER tightening,
+    outsized geometry)."""
+    L = S.shape[-1]
+    o = (disp - gmin[:, None, None].astype(jnp.float32)).astype(jnp.int32)
+    oc = jnp.clip(o, 1, max(L - 3, 1))
+    idx = oc[..., None] + jnp.arange(-1, 3)
+    v = jnp.take_along_axis(S, jnp.clip(idx, 0, L - 1), axis=-1)
+    return jnp.moveaxis(v, -1, -2)
+
+
+@partial(jax.jit, static_argnames=("method",))
 def subpixel_refine(S, disp, cost, s_lo, s_hi, gmin, *, method: str):
     """S: (N, H, W, L); disp/cost: (N, H, W); gmin: (N,)."""
     if method == "none":

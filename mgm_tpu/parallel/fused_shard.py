@@ -4,9 +4,11 @@ compute_disparity(mesh=...) previously dropped to the XLA lax.scan
 solver whenever a mesh was given, forfeiting the fused Pallas kernels'
 ~10x single-chip speedup.  This module runs the SAME fused recursion
 (ops/pallas_fused.py semantics, mgm_core.cc:408-613 of gfacciol/mgm)
-inside shard_map, covering every pass group except the packed parity
-spaces (the mgm=4 schedules of passes 2/3/5/7), i.e. every reference
-config with mgm <= 3 at any ndir, and ndir <= 2 at mgm = 4:
+inside shard_map, covering every fusable pass group — the A/B skew
+spaces, the column-front space V, and the packed parity spaces PA/PB
+(the mgm=4 schedules of passes 2/3/5/7) — i.e. every reference config
+at any ndir in 1..8 and any mgm; only the 22.5-degree knight passes
+(ndir=16) and NCC fall back to the XLA mesh path:
 
   - image rows are sharded over the 1-D mesh ("y"); every device holds
     Rl rows (a multiple of 128 — the lane tiling) and steps the fused
@@ -46,16 +48,24 @@ config with mgm <= 3 at any ndir, and ndir <= 2 at mgm = 4:
     (mgm_core.cc:538-541) discards exactly the messages that could
     consume an out-of-image row.
 
+  - **Packed parity group** (slope-1/2 wavefronts t = 2c +- r, lanes =
+    half-rows: the mgm=4 schedules of passes 2/3/5/7, also bidirected)
+    runs the same lockstep apron scheme as V in the PACKED geometry:
+    aprons are B_h half-row lanes (= 2*B_h image rows) deep, packed
+    lane rolls move at most one lane per front, and both spaces ride
+    one launch per direction exactly like the resident kernel
+    (run_p_group).
+
 The halo tracks / apron refreshes carry the full Dvec state (cached
 minima are recomputed from the shipped rows; min is order-independent),
-so the sharded run is BITWISE-equal to the single-device fused kernels.
+and every assembly sums spaces in one association order
+(A,B,V,PA,PB left-to-right), so the sharded run is BITWISE-equal to
+the single-device fused kernels.
 
 Wall-clock: A/B supersteps = NB + n - 1 vs NB single-device (pipeline
-fill), V supersteps = NB_v with a 2B/Rl lane-apron recompute overhead;
-efficiency grows with rows/device (the large-scene regime the mesh
-path exists for).  Packed-parity passes (mgm = 4 holdouts) stay on the
-XLA mesh path: their half-row lanes would need per-front bidirected
-halos at packed offsets — see sharded_eligible.
+fill), V/parity supersteps = NB_v with a 2B/Rl lane-apron recompute
+overhead; efficiency grows with rows/device (the large-scene regime
+the mesh path exists for).
 """
 from __future__ import annotations
 
@@ -69,24 +79,113 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ._shard_map import shard_map
 
 from ..ops import pallas_fused as pf
-from ..ops.fused import (PASS_TABLE, split_passes, _skew_rows, _col_window,
-                         _bt_aux)
+from ..ops.fused import (PASS_TABLE, P_SLOPE, split_passes, _skew_rows,
+                         _col_window, _bt_aux)
 from ..ops.common import INF
 
 AXIS = "y"
 
 
+def _shift_t(x, off, fill, maxoff: int):
+    """Shift the last axis by a traced `off` (|off| <= maxoff):
+    out[..., t] = x[..., t - off] with `fill` outside."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(maxoff, maxoff)]
+    padded = jnp.pad(x, pad, constant_values=fill)
+    start = (0,) * (x.ndim - 1) + (maxoff - off,)
+    return jax.lax.dynamic_slice(padded, start, x.shape)
+
+
+def _local_skew_packed(a, space: str, t_len: int, fill, rho0, R2lap: int,
+                       R2g: int):
+    """(..., 2*R2lap, W) local image rows (starting at global row
+    2*rho0) -> (..., R2lap, t_len) local lane slice of the GLOBAL
+    packed parity skew (ops/fused._skew_packed): local pad/reshape
+    skew plus one device-dependent dynamic shift along t."""
+    if space == "PB":
+        a = jnp.flip(a, -2)
+        off = R2g - R2lap - rho0
+    else:
+        off = rho0
+    maxoff = R2g + 2 * R2lap
+    th = t_len // 2
+    E = _shift_t(_skew_rows(a[..., 0::2, :], 1, th, fill), off, fill,
+                 maxoff)
+    O = _shift_t(_skew_rows(a[..., 1::2, :], 1, th, fill), off, fill,
+                 maxoff)
+    out = jnp.stack([E, O], axis=-1).reshape(a.shape[:-2]
+                                             + (R2lap, t_len))
+    if space == "PB":
+        out = jnp.flip(out, -2)
+    return out
+
+
+def _local_ring_packed(v, space: str, th_len: int, fill, rho0,
+                       R2lap: int, R2g: int):
+    """Local lane slice of the two per-front-parity ring sources
+    (ops/fused._ring_packed), each (..., R2lap, th_len)."""
+    if space == "PB":
+        v = jnp.flip(v, -2)
+        off = R2g - R2lap - rho0
+    else:
+        off = rho0
+    maxoff = R2g + 2 * R2lap
+    E = _shift_t(_skew_rows(v[..., 0::2, :], 1, th_len, fill), off, fill,
+                 maxoff)
+    O = _shift_t(_skew_rows(v[..., 1::2, :], 1, th_len, fill), off, fill,
+                 maxoff)
+    if space == "PB":
+        E, O = jnp.flip(E, -2), jnp.flip(O, -2)
+    return E, O
+
+
+def _local_unskew_packed(pair, C: int, space: str, rho0, R2lap: int,
+                         R2g: int, B_h: int, Rl: int):
+    """Transposed parity half outputs ((even, odd), each
+    (Mp, R2lap, Th, L)) -> (Mp, Rl, C, L) image-space volume of the
+    device's own rows (aprons dropped): the local counterpart of
+    ops/fused._unskew_packed with the device's global half-row offset
+    applied as a dynamic shift."""
+    if space == "PB":
+        off = R2g - R2lap - rho0
+    else:
+        off = rho0
+    maxoff = R2g + 2 * R2lap
+    outs = []
+    for y in pair:
+        z = jnp.transpose(y, (0, 3, 1, 2))         # (Mp, L, R2lap, Th)
+        if space == "PB":
+            z = jnp.flip(z, -2)
+        # pre-shift tau by `off`, then the local slope-1 unskew:
+        # out[rho, c] = z[rho, c + rho + off]
+        z = _shift_t(z, -off, 0.0, maxoff)
+        Mp, L, _, Th = z.shape
+        flat = z.reshape(Mp, L, R2lap * Th)
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, R2lap)))
+        z = flat.reshape(Mp, L, R2lap, Th + 1)[..., :C]
+        if space == "PB":
+            z = jnp.flip(z, -2)
+        outs.append(z)
+    a, b = outs                                    # even-/odd-front
+    if space == "PB":
+        a, b = b, a                                # -> even/odd ROWS
+    vol = jnp.stack([a, b], axis=3)                # (Mp, L, R2lap, 2, C)
+    Mp, L = vol.shape[0], vol.shape[1]
+    vol = vol.reshape(Mp, L, 2 * R2lap, C)
+    vol = jnp.transpose(vol, (0, 2, 3, 1))         # (Mp, rows, C, L)
+    return jax.lax.slice_in_dim(vol, 2 * B_h, 2 * B_h + Rl, axis=1)
+
+
 def sharded_eligible(ndir: int, mgm: int, distance: str) -> bool:
-    """True when every pass schedules into the A/B skew spaces
-    (staggered pipeline) or the column-front space V (lockstep apron
-    pipeline) — i.e. every reference config with mgm <= 3, and
-    ndir <= 2 at mgm = 4.  The packed parity spaces (mgm = 4 holdouts,
-    slope tag -1) stay on the XLA mesh path."""
+    """True when every pass schedules into a group the sharded runner
+    covers: the A/B skew spaces (staggered pipeline), the column-front
+    space V, or the packed parity spaces (both lockstep apron
+    pipelines) — i.e. every fusable config, ndir <= 8 at any mgm.
+    Only the knight passes (ndir = 16) and NCC fall back to the XLA
+    mesh path."""
     if distance == "ncc":
         return False
     groups, leftover = split_passes(ndir, mgm)
-    return (not leftover and bool(groups)
-            and all(s >= 0 for s, _, _ in groups))
+    return not leftover and bool(groups)
 
 
 def _local_skew(a, space: str, slope: int, t_len: int, fill, r0, Rl: int,
@@ -121,6 +220,39 @@ def _local_unskew(y, C: int, slope: int, off):
     flat = jnp.pad(flat, ((0, 0), (0, slope * Rl), (0, 0)))
     z = flat.reshape(N, Rl, Tp + slope, L)
     return jax.lax.dynamic_slice(z, (0, 0, off, 0), (N, Rl, C, L))
+
+
+def _extend_rows(a, fill, axis: int, nb: int, k, n: int):
+    """Apron-extend `a` (rows on `axis`) with `nb` boundary rows from
+    each neighbour device; mesh-edge aprons get `fill` (inert: the
+    V/parity passes' both-sign border rules discard every message
+    adjacent to an out-of-image row)."""
+    ax = axis % a.ndim
+    R_ = a.shape[ax]
+    topsrc = jax.lax.slice_in_dim(a, R_ - nb, R_, axis=ax)
+    botsrc = jax.lax.slice_in_dim(a, 0, nb, axis=ax)
+    top = jax.lax.ppermute(topsrc, AXIS,
+                           [(i, (i + 1) % n) for i in range(n)])
+    bot = jax.lax.ppermute(botsrc, AXIS,
+                           [(i, (i - 1) % n) for i in range(n)])
+    top = jnp.where(jnp.equal(k, 0), fill, top)
+    bot = jnp.where(jnp.equal(k, n - 1), fill, bot)
+    return jnp.concatenate([top, a, bot], axis=ax)
+
+
+def _refresh_aprons(x, nb: int, inner: int, k, n: int):
+    """Between lockstep blocks: ship my interior boundary bands (still
+    exact) into the neighbours' aprons of the carried state `x`
+    (lanes minor: [0, nb) top apron, [nb, nb+inner) interior,
+    [nb+inner, inner+2nb) bottom apron)."""
+    sd = jax.lax.slice_in_dim(x, inner, inner + nb, axis=-1)
+    su = jax.lax.slice_in_dim(x, nb, 2 * nb, axis=-1)
+    rt = jax.lax.ppermute(sd, AXIS, [(i, (i + 1) % n) for i in range(n)])
+    rb = jax.lax.ppermute(su, AXIS, [(i, (i - 1) % n) for i in range(n)])
+    rt = jnp.where(jnp.equal(k, 0), INF, rt)
+    rb = jnp.where(jnp.equal(k, n - 1), INF, rb)
+    x = jax.lax.dynamic_update_slice_in_dim(x, rt, 0, axis=-1)
+    return jax.lax.dynamic_update_slice_in_dim(x, rb, nb + inner, axis=-1)
 
 
 def _launch_setup(passes, sides):
@@ -172,8 +304,7 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
     kappa = -float(ndir - 1) if fix_overcount else 0.0
 
     groups, leftover = split_passes(ndir, mgm)
-    assert not leftover and groups and all(s >= 0 for s, _, _ in groups), \
-        "caller must gate on sharded_eligible"
+    assert not leftover and groups, "caller must gate on sharded_eligible"
     # bigger blocks than the resident single-device kernel: every
     # superstep pays XLA slab slicing + a kernel launch + a ppermute,
     # so amortise over more fronts (the grid-less block kernel holds
@@ -253,14 +384,24 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
         for slope, spaces, launches in groups:
             fold_group = kappa != 0.0 and not fold_done
             fold_done = fold_done or fold_group
+            arrs = (lefts_l, rights_l, lo_l, hi_l)
             if slope > 0:
-                vol = run_ab_group(
-                    spaces, launches, fold_group, skew_plane, weights_skew,
-                    (lefts_l, rights_l, lo_l, hi_l), w_l, k, r0)
+                vol = run_ab_group(spaces, launches, fold_group,
+                                   skew_plane, weights_skew, arrs, w_l,
+                                   k, r0)
+            elif slope == 0:
+                vol = run_v_group(spaces, launches, fold_group,
+                                  skew_plane, weights_skew, arrs, w_l,
+                                  k, r0)
             else:
-                vol = run_v_group(
-                    spaces, launches, fold_group, skew_plane, weights_skew,
-                    (lefts_l, rights_l, lo_l, hi_l), w_l, k, r0)
+                # parity spaces fold into the RUNNING total one at a
+                # time: the resident WTA kernel sums spaces strictly
+                # left-to-right (A,B,V,PA,PB — pallas_fused.py:336),
+                # so ((AB+V)+PA)+PB, never (AB+V)+(PA+PB); bitwise
+                # equality with the single-device path depends on it
+                total = run_p_group(spaces, launches, fold_group, arrs,
+                                    w_l, k, r0, total)
+                continue
             total = vol if total is None else total + vol
         return total
 
@@ -415,22 +556,9 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
         Tp = -(-T // B) * B
         NBv = Tp // B
         SLABW = -(-(B + L - 1) // 8) * 8
-        down_perm = [(i, (i + 1) % n) for i in range(n)]
-        up_perm = [(i, (i - 1) % n) for i in range(n)]
 
         def extend(a, fill, axis):
-            """Apron-extend `a` (rows on `axis`) with B boundary rows
-            from each neighbour; mesh-edge aprons get `fill` (inert:
-            see the module docstring's border-rule argument)."""
-            nr = a.ndim
-            ax = axis % nr
-            topsrc = jax.lax.slice_in_dim(a, Rl - B, Rl, axis=ax)
-            botsrc = jax.lax.slice_in_dim(a, 0, B, axis=ax)
-            top = jax.lax.ppermute(topsrc, AXIS, down_perm)
-            bot = jax.lax.ppermute(botsrc, AXIS, up_perm)
-            top = jnp.where(jnp.equal(k, 0), fill, top)
-            bot = jnp.where(jnp.equal(k, n - 1), fill, bot)
-            return jnp.concatenate([top, a, bot], axis=ax)
+            return _extend_rows(a, fill, axis, B, k, n)
 
         le, ri, lo_a, hi_a = arrs
         fill_img = jnp.asarray(ifill, le.dtype)
@@ -492,19 +620,8 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
                                                           axis=1)
                 # apron refresh: my interior boundary bands (exact) ->
                 # the neighbours' aprons, for both hist and mins
-                def refresh(x):
-                    sd = jax.lax.slice_in_dim(x, Rl, Rl + B, axis=-1)
-                    su = jax.lax.slice_in_dim(x, B, 2 * B, axis=-1)
-                    rt = jax.lax.ppermute(sd, AXIS, down_perm)
-                    rb = jax.lax.ppermute(su, AXIS, up_perm)
-                    rt = jnp.where(jnp.equal(k, 0), INF, rt)
-                    rb = jnp.where(jnp.equal(k, n - 1), INF, rb)
-                    x = jax.lax.dynamic_update_slice_in_dim(
-                        x, rt, 0, axis=-1)
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        x, rb, Rl + B, axis=-1)
-
-                return (out, refresh(h2), refresh(m2)), None
+                return (out, _refresh_aprons(h2, B, Rl, k, n),
+                        _refresh_aprons(m2, B, Rl, k, n)), None
 
             init = (out,
                     jnp.full((Dk, Ml, L, Rlap), INF, jnp.float32),
@@ -514,6 +631,173 @@ def sharded_fused_lsum(u_p, v_p, w8, lo_px, hi_px, *, mesh: Mesh,
 
         y = jnp.transpose(out, (0, 3, 1, 2))       # (N, Rlap, Tp, L)
         return _local_unskew(y[:, B:B + Rl], C, 0, 0)
+
+    def run_p_group(spaces, launches, fold_group, arrs, w_l, k, r0,
+                    total):
+        """Lockstep apron pipeline for the PACKED PARITY group (the
+        slope-1/2 wavefronts t = 2c +- r scheduling the mgm = 4 dep
+        sets of passes 2/3/5/7; lanes hold half-rows — see
+        ops/pallas_fused._kernel).  Same structure as run_v_group —
+        devices advance block-by-block together, aprons of B_h
+        half-row lanes refresh between blocks (packed rolls move <= 1
+        lane per front) — with the packed geometry: both spaces ride
+        one launch per direction (multi-space planes, like the
+        resident kernel), and the apron borrows 2*B_h IMAGE rows."""
+        Gp = int(os.environ.get("MGM_TPU_SFUSED_GP", "32"))
+        Gp = max(16, min(Gp - Gp % 16, Rl // 2))
+        B_h = Gp            # apron depth in half-row lanes
+        R2l = Rl // 2
+        R2lap = R2l + 2 * B_h
+        R2g = -(-(RPg // 2) // 128) * 128
+        T = 2 * C + 2 * R2g + 8
+        Tp = -(-T // (2 * Gp)) * (2 * Gp)
+        NBp = Tp // Gp
+        GH = Gp // 2
+        SLABW = -(-(GH + L - 1) // 8) * 8
+        A0 = {"PA": 0, "PB": R2g - 1}
+        SS = {"PA": -1, "PB": 1}
+        PARF = {"PA": 0, "PB": 1}
+        rho0 = (r0 - 2 * B_h) // 2  # global half-row of local lane 0
+
+        le, ri, lo_a, hi_a = arrs
+        fill_img = jnp.asarray(ifill, le.dtype)
+        le = _extend_rows(le, fill_img, -3, 2 * B_h, k, n)
+        ri = _extend_rows(ri, fill_img, -3, 2 * B_h, k, n)
+        if per_pixel:
+            lo_a = _extend_rows(lo_a, 0, -2, 2 * B_h, k, n)
+            hi_a = _extend_rows(hi_a, L - 1, -2, 2 * B_h, k, n)
+        w_ap = (_extend_rows(w_l, 1.0, -3, 2 * B_h, k, n) if use_weights
+                else w_l)
+
+        # plane order mirrors ops/fused._run_group: spaces-major,
+        # sides within a space
+        plane_ix = {}
+        plane_specs = []
+        u_sk, v_sk, lo_sk, hi_sk = [], [], [], []
+        for space in spaces:
+            for ni, (gmin, lo, hi) in enumerate(sides):
+                plane_ix[(ni, space)] = len(plane_specs)
+                fold = (fold_group and space == spaces[0])
+                plane_specs.append((gmin, lo, hi, A0[space], SS[space],
+                                    fold, PARF[space]))
+                u_c = jnp.moveaxis(le[ni], -1, 0)  # (Cch, rows, W)
+                v_c = jnp.moveaxis(ri[ni], -1, 0)
+                u_sk.append(_local_skew_packed(u_c, space, Tp, ifill,
+                                               rho0, R2lap, R2g))
+                v_sh = _col_window(v_c, gmin, Tp // 2 + SLABW, ifill)
+                v_sk.append(_local_ring_packed(v_sh, space,
+                                               Tp // 2 + SLABW, ifill,
+                                               rho0, R2lap, R2g))
+                if per_pixel:
+                    lo_sk.append(_local_skew_packed(
+                        lo_a[ni], space, Tp, 0, rho0, R2lap, R2g))
+                    hi_sk.append(_local_skew_packed(
+                        hi_a[ni], space, Tp, L - 1, rho0, R2lap, R2g))
+        U = jnp.swapaxes(jnp.stack(u_sk), -1, -2)  # (Mp, Cch, Tp, R2lap)
+        Ve = jnp.swapaxes(jnp.stack([p[0] for p in v_sk]), -1, -2)
+        Vo = jnp.swapaxes(jnp.stack([p[1] for p in v_sk]), -1, -2)
+        LOs = (jnp.swapaxes(jnp.stack(lo_sk), -1, -2) if per_pixel
+               else None)
+        HIs = (jnp.swapaxes(jnp.stack(hi_sk), -1, -2) if per_pixel
+               else None)
+        Mp = len(plane_specs)
+        outs = [jnp.zeros((Mp, Tp // 2, L, R2lap), jnp.float32)] * 2
+
+        for d, passes in launches:
+            for pid, space, ranks, border in passes:
+                assert border[2] and border[3], \
+                    "parity passes must mask both row borders"
+            combos, mspecs, w_sk = [], [], []
+            for pid, space, ranks, border in passes:
+                for c in ranks:
+                    ck = c + (PARF[space],)
+                    if ck not in combos:
+                        combos.append(ck)
+            for pid, space, ranks, border in passes:
+                cks = [c + (PARF[space],) for c in ranks]
+                for ni in range(N):
+                    mspecs.append((plane_ix[(ni, space)],
+                                   tuple(combos.index(ck) for ck in cks),
+                                   border))
+                    if use_weights:
+                        wch = PASS_TABLE[pid].wch
+                        planes_w = []
+                        for ck in combos:
+                            if ck in cks:
+                                wp = w_ap[ni, :, :, wch[cks.index(ck)]]
+                            else:
+                                wp = jnp.ones((Rl + 4 * B_h, W),
+                                              jnp.float32)
+                            planes_w.append(_local_skew_packed(
+                                wp, space, Tp, 1.0, rho0, R2lap, R2g))
+                        w_sk.append(jnp.stack(planes_w))
+            Wk = (jnp.swapaxes(jnp.stack(w_sk), -1, -2) if use_weights
+                  else None)
+            reverse = d == "bwd"
+            accumulate = d == "bwd"
+            Ml = len(mspecs)
+            Dk = max(c[0] for c in combos)
+
+            def pstep(carry, blk, Wk=Wk, combos=tuple(combos),
+                      mspecs=tuple(mspecs), reverse=reverse,
+                      accumulate=accumulate, Ml=Ml):
+                oute, outo, hist, mins = carry
+                beff = (NBp - 1 - blk) if reverse else blk
+                t0 = beff * Gp
+                th0 = t0 // 2
+                scal = jnp.stack([t0, jnp.asarray(rho0)]) \
+                    .astype(jnp.int32)
+                U_blk = jax.lax.dynamic_slice_in_dim(U, t0, Gp, axis=2)
+                ve = jax.lax.dynamic_slice_in_dim(Ve, th0, SLABW, axis=2)
+                vo = jax.lax.dynamic_slice_in_dim(Vo, th0, SLABW, axis=2)
+                W_blk = (jax.lax.dynamic_slice_in_dim(Wk, t0, Gp, axis=2)
+                         if use_weights else None)
+                lo_blk = (jax.lax.dynamic_slice_in_dim(LOs, t0, Gp,
+                                                       axis=1)
+                          if per_pixel else None)
+                hi_blk = (jax.lax.dynamic_slice_in_dim(HIs, t0, Gp,
+                                                       axis=1)
+                          if per_pixel else None)
+                acc = None
+                if accumulate:
+                    acc = (jax.lax.dynamic_slice_in_dim(oute, th0, GH,
+                                                        axis=1),
+                           jax.lax.dynamic_slice_in_dim(outo, th0, GH,
+                                                        axis=1))
+                ob, h2, m2, _ = pf.fused_block(
+                    scal, U_blk, (ve, vo), W_blk, lo_blk, hi_blk, hist,
+                    mins, None, acc,
+                    planes=tuple(plane_specs), mspecs=mspecs,
+                    combos=combos, C=C, R_eff=h_real, L=L, G=Gp, slope=1,
+                    p1=p1, p2=p2, mgm=mgm, mode=mode, nch=nch, tmax=tmax,
+                    use_fh=use_fh, use_weights=use_weights, kappa=kappa,
+                    reverse=reverse, per_pixel=per_pixel,
+                    fh_restrict=fh_restrict, ship_lane=0, inject_lane=0,
+                    RPg=RPg, parity=True, interpret=interpret)
+                oute = jax.lax.dynamic_update_slice_in_dim(
+                    oute, ob[0], th0, axis=1)
+                outo = jax.lax.dynamic_update_slice_in_dim(
+                    outo, ob[1], th0, axis=1)
+                return (oute, outo, _refresh_aprons(h2, B_h, R2l, k, n),
+                        _refresh_aprons(m2, B_h, R2l, k, n)), None
+
+            init = (outs[0], outs[1],
+                    jnp.full((Dk, Ml, L, R2lap), INF, jnp.float32),
+                    jnp.full((Dk, Ml, R2lap), INF, jnp.float32))
+            (oe, oo, _, _), _ = jax.lax.scan(
+                pstep, init, jnp.arange(NBp, dtype=jnp.int32))
+            outs = [oe, oo]
+
+        # local unskew per space, folded one space at a time onto the
+        # caller's running total (resident space-sum order)
+        for si, space in enumerate(spaces):
+            pair = tuple(
+                jnp.transpose(o[si * N:(si + 1) * N], (0, 3, 1, 2))
+                for o in outs)                     # (N, R2lap, Th, L)
+            vol = _local_unskew_packed(pair, C, space, rho0, R2lap,
+                                       R2g, B_h, Rl)
+            total = vol if total is None else total + vol
+        return total
 
     fn = shard_map(
         body, mesh=mesh,

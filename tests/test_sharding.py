@@ -174,6 +174,15 @@ def test_sharded_fused_pipeline(rng, monkeypatch):
                       p2=100, test_lr=True), None),
         (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=2, test_lr=True),
          "pp"),
+        # mgm=4 routes passes 2/3/5/7 into the packed parity spaces:
+        # round-4 run_p_group (lockstep half-row apron pipeline, both
+        # spaces in one launch); ndir=8 covers AB+V+parity together
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4, test_lr=True),
+         None),
+        (4, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=4, refinement="vfit",
+                      test_lr=True), None),
+        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4, test_lr=True),
+         "pp"),
     ]
     for n_dev, cfg, pp in cases:
         kw = {}
@@ -237,3 +246,25 @@ def test_pipeline_mesh_per_pixel(rng):
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_sharded_eligible_matches_supported_groups():
+    """The eligibility gate must accept EXACTLY what sharded_fused_lsum
+    runs (round 3 shipped a gate that admitted ndir=8 configs the
+    runner then asserted away -> every -O 8 mesh run crashed)."""
+    from mgm_tpu.ops.fused import split_passes
+    from mgm_tpu.parallel.fused_shard import sharded_eligible
+
+    for ndir in (1, 2, 3, 4, 5, 6, 7, 8, 16):
+        for mgm in (1, 2, 3, 4):
+            ok = sharded_eligible(ndir, mgm, "ad")
+            groups, leftover = split_passes(ndir, mgm)
+            supported = not leftover and bool(groups)
+            assert ok == supported, (ndir, mgm)
+            assert not sharded_eligible(ndir, mgm, "ncc")
+    # the concrete shapes of the round-3 bug
+    assert sharded_eligible(8, 2, "ad")
+    assert sharded_eligible(8, 3, "census")
+    assert sharded_eligible(8, 4, "ad")       # parity group (round 4)
+    assert sharded_eligible(2, 4, "ad")
+    assert not sharded_eligible(16, 2, "ad")  # knight passes -> dense
