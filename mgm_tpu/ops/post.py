@@ -26,7 +26,14 @@ def median_filter(img, *, radius: int):
     finite = ~jnp.isnan(stack)
     n = jnp.sum(finite, axis=-1)
     svals = jnp.sort(jnp.where(finite, stack, INF), axis=-1)
-    med = jnp.take_along_axis(svals, (n // 2)[..., None], axis=-1)[..., 0]
+    # one-hot select instead of take_along_axis: the TPU gather
+    # lowering ran at ~10 ns/element (a 10 ms postprocess sink on
+    # fountain23); exactly one term is non-zero so the sum is
+    # bit-identical (NaNs were already replaced by +inf above)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape,
+                                    stack.ndim - 1)
+    med = jnp.sum(jnp.where(kidx == (n // 2)[..., None], svals, 0.0),
+                  axis=-1)
     return jnp.where(n > 0, med, img)
 
 

@@ -32,7 +32,7 @@ from .ops.census import census_transform
 from .ops.cost import build_cost_volume
 from .ops.fused import mgm_solve_fused
 from .ops.prefilter import apply_prefilter
-from .ops.refine import subpixel_refine
+from .ops.refine import subpixel_refine, subpixel_refine_taps
 from .ops.weights import compute_weights
 from .solver import mgm_solve
 
@@ -173,6 +173,12 @@ def _refine(S, disp, cost, s_lo, s_hi, gmin, *, method):
     return subpixel_refine(S, disp, cost, s_lo, s_hi, gmin, method=method)
 
 
+@partial(jax.jit, static_argnames=("method",))
+def _refine_taps(taps, disp, cost, s_lo, s_hi, gmin, *, method):
+    return subpixel_refine_taps(taps, disp, cost, s_lo, s_hi, gmin,
+                                method=method)
+
+
 @jax.jit
 def _any_weighted(w8):
     return jnp.any(w8 != 1.0)
@@ -294,6 +300,30 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     n_sides = 2 if cfg.test_lr else 1
     L = cfg.dmax - cfg.dmin + 1
     gmins = (cfg.dmin, -cfg.dmax)[:n_sides]
+
+    # the fused launches' scoped VMEM scales with the plane count
+    # (K x sides x spaces): chunk big batches so each launch set fits,
+    # padding the trailing chunk so every chunk compiles to ONE
+    # program.  The crude per-pair estimate is calibrated against the
+    # known-good single-pair fountain23 config (~40 MB of out blocks
+    # within the 100 MB scoped budget); MGM_TPU_BATCH_K overrides.
+    Lp8 = -(-L // 8) * 8
+    Rp128 = -(-H // 128) * 128
+    per_pair = 2 * n_sides * 8 * Lp8 * Rp128 * 4 * 4
+    max_k = (int(os.environ.get("MGM_TPU_BATCH_K", "0"))
+             or max(1, int(60e6 // per_pair)))
+    if K > max_k:
+        outs = []
+        for i in range(0, K, max_k):
+            cu, cv = us[i:i + max_k], vs[i:i + max_k]
+            npad = max_k - len(cu)
+            if npad:  # repeat the last pair: one compiled shape
+                cu = np.concatenate([cu, cu[-1:].repeat(npad, 0)])
+                cv = np.concatenate([cv, cv[-1:].repeat(npad, 0)])
+            o = compute_disparity_batch(cu, cv, cfg, outputs=outputs)
+            outs.append({key: a[:max_k - npad] for key, a in o.items()})
+        return {key: np.concatenate([o[key] for o in outs])
+                for key in outs[0]}
     sides_pair = tuple((int(g), 0, int(L) - 1) for g in gmins)
     sides = sides_pair * K
     p1, p2 = cfg.p1 * C, cfg.p2 * C
@@ -320,10 +350,10 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
         p1=p1, p2=p2, mode=cfg.distance, nch=int(up.shape[-1]),
         trunc_dist=cfg.trunc_dist, use_fh=cfg.use_trunc_linear,
         use_weights=use_weights, fix_overcount=cfg.fix_overcount,
-        backend=fused, want_S=want_S, const_sw=not want_S)
+        backend=fused, want_S="taps" if want_S else False, const_sw=True)
     if want_S:
-        disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
-                             method=cfg.refinement)
+        disp, cost = _refine_taps(S, disp, cost, s_lo, s_hi, gmin_j,
+                                  method=cfg.refinement)
     disp = _postprocess_batch(disp, jnp.float32(cfg.lr_tau),
                               median_radius=cfg.median_radius,
                               test_lr=cfg.test_lr, n_sides=n_sides)
@@ -590,7 +620,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 trunc_dist=cfg.trunc_dist, use_fh=cfg.use_trunc_linear,
                 use_weights=use_weights,
                 fix_overcount=cfg.fix_overcount, backend=fused,
-                want_S=(cfg.refinement != "none"),
+                want_S="taps" if cfg.refinement != "none" else False,
                 const_sw=(it == 0 and not per_pixel),
                 lo_px=lo_idx if per_pixel else None,
                 hi_px=hi_idx if per_pixel else None)
@@ -617,8 +647,11 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                                   dump_path="/tmp/ENERGY_L1trunc.tif")
         _mark("mgm solve", prof, (S, disp, cost))
         if cfg.refinement != "none":
-            disp, cost = _refine(S, disp, cost, s_lo, s_hi, gmin_j,
-                                 method=cfg.refinement)
+            # fused path: S is the (N, H, 4, W) tap stack emitted by
+            # the WTA kernel (want_S="taps"), not the full volume
+            ref = _refine_taps if fused else _refine
+            disp, cost = ref(S, disp, cost, s_lo, s_hi, gmin_j,
+                             method=cfg.refinement)
         _mark("refine", prof, (disp, cost))
         if it + 1 < cfg.iterations:
             d_t = disp
