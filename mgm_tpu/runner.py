@@ -105,21 +105,61 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         if verbose:
             print(f"[tile] ({y0},{x0})..({y1},{x1}) solved", flush=True)
 
+    use_batch = batch > 1 and len(jobs) > 1
+    if use_batch:
+        # SCENE-RESIDENT batching: upload the scene pair ONCE, slice
+        # each group's context crops on device (vmapped dynamic_slice,
+        # one compiled program for every group), and fetch only a
+        # core-sized window per tile.  On remote-attached TPUs the
+        # tunnel bytes dominate: per-call crop upload (margin overlap
+        # re-shipped every tile) + full-context fetch made the scene
+        # ~2.2x the traffic this path pays.
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from .stereo import compute_disparity_batch
+
+        u_d, v_d = jnp.asarray(u), jnp.asarray(v)
+        ctx_h = min(H, tile + 2 * margin)
+        ctx_w = min(W, tile + 2 * margin + pad_l + pad_r)
+        th, tw = min(tile, ctx_h), min(tile, ctx_w)
+
+        @partial(jax.jit, static_argnames=("h", "w"))
+        def crop_stack(img, offs, *, h, w):
+            return jax.vmap(lambda o: jax.lax.dynamic_slice(
+                img, (o[0], o[1], 0), (h, w, img.shape[2])))(offs)
+
+        @partial(jax.jit, static_argnames=("h", "w"))
+        def core_stack(a, offs, *, h, w):
+            return jax.vmap(lambda x, o: jax.lax.dynamic_slice(
+                x, (o[0], o[1]), (h, w)))(a, offs)
+
+    pending = []  # dispatched groups awaiting their core fetch
     for i in range(0, len(jobs), max(batch, 1)):
         grp = jobs[i:i + max(batch, 1)]
-        if len(grp) > 1 or (batch > 1 and len(jobs) > 1):
-            from .stereo import compute_disparity_batch
+        if use_batch:
             # pad a short trailing group to the full batch size by
             # repeating the last tile: one compiled program for every
             # group (per-shape compiles cost minutes on a remote
             # compile service)
             padded = grp + [grp[-1]] * (batch - len(grp))
-            us = np.stack([u[j[4]:j[6], j[5]:j[7]] for j in padded])
-            vs = np.stack([v[j[4]:j[6], j[5]:j[7]] for j in padded])
+            offs = jnp.asarray([[j[4], j[5]] for j in padded], jnp.int32)
+            us = crop_stack(u_d, offs, h=ctx_h, w=ctx_w)
+            vs = crop_stack(v_d, offs, h=ctx_h, w=ctx_w)
             res = compute_disparity_batch(us, vs, cfg,
-                                          outputs=("disp", "cost"))
-            for k, job in enumerate(grp):
-                finish(job, res["disp"][k], res["cost"][k])
+                                          outputs=("disp", "cost"),
+                                          device_out=True)
+            # core-sized fetch windows: anchored so the [y0,y1)x[x0,x1)
+            # core always lies inside (edge tiles shift inward).  The
+            # fetch itself is DEFERRED (async dispatch): every group's
+            # compute is issued before the first device->host transfer,
+            # so transfers overlap later groups' device time
+            anch = [(min(j[0] - j[4], ctx_h - th),
+                     min(j[1] - j[5], ctx_w - tw)) for j in padded]
+            aoffs = jnp.asarray(anch, jnp.int32)
+            pending.append((grp, anch,
+                            {k: core_stack(res[k], aoffs, h=th, w=tw)
+                             for k in ("disp", "cost")}))
         else:
             for job in grp:
                 y0, x0, y1, x1, cy0, cx0, cy1, cx1, ckpt = job
@@ -131,6 +171,15 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                     u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
                     outputs=("disp", "cost"), mesh=mesh, **kw)
                 finish(job, res["disp"], res["cost"])
+    for grp, anch, wins_dev in pending:
+        wins = {k: np.asarray(a) for k, a in wins_dev.items()}
+        for k, job in enumerate(grp):
+            y0, x0, y1, x1, cy0, cx0 = job[:6]
+            ay, ax = anch[k]
+            oy, ox = y0 - cy0 - ay, x0 - cx0 - ax
+            fake = list(job)
+            fake[4], fake[5] = y0 - oy, x0 - ox  # window origin
+            finish(tuple(fake), wins["disp"][k], wins["cost"][k])
     return {"disp": disp, "cost": cost, "tiles_solved": n_solved}
 
 

@@ -266,7 +266,8 @@ def _postprocess_batch(disp, lr_tau, *, median_radius, test_lr,
 
 
 def compute_disparity_batch(us, vs, cfg: MGMConfig,
-                            outputs: tuple = ("disp", "cost")) -> dict:
+                            outputs: tuple = ("disp", "cost"),
+                            device_out: bool = False) -> dict:
     """Solve K independent rectified pairs in ONE set of device
     launches: us, vs are (K, H, W, C) stacks sharing one config and
     disparity range.  The fused kernels batch over their plane axis
@@ -275,24 +276,36 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     tiles (runner.tiled_disparity batch=) and production serving,
     where individual small problems are overhead-dominated.
 
+    us/vs may be DEVICE (jax) arrays — e.g. crops sliced on device
+    from a resident scene (runner.tiled_disparity): no host round-trip
+    happens on the way in.  device_out=True returns device arrays, so
+    the caller can slice (tile cores) before paying the device->host
+    fetch — on remote-attached TPUs the tunnel bytes dominate
+    small-problem latency.
+
     Returns {'disp': (K, H, W), 'cost': (K, H, W)} (+ _right variants
     when cfg.test_lr), each pair solved exactly as
     compute_disparity(us[k], vs[k], cfg) modulo float association.
     Falls back to a sequential loop off the fused path (NCC distance,
     CPU, TSGM_ITER > 1)."""
-    us = np.asarray(us)
-    vs = np.asarray(vs)
-    if us.dtype != np.uint8:
-        us = np.asarray(us, np.float32)
-    if vs.dtype != np.uint8:
-        vs = np.asarray(vs, np.float32)
+    dev_in = isinstance(us, jax.Array)
+    if not dev_in:
+        us = np.asarray(us)
+        vs = np.asarray(vs)
+        if us.dtype != np.uint8:
+            us = np.asarray(us, np.float32)
+        if vs.dtype != np.uint8:
+            vs = np.asarray(vs, np.float32)
     K, H, W, C = us.shape
     fused = _fused_backend(cfg, False)
     if fused is None or cfg.iterations != 1 or cfg.debug:
-        outs = [compute_disparity(us[k], vs[k], cfg, outputs=outputs)
+        outs = [compute_disparity(np.asarray(us[k]), np.asarray(vs[k]),
+                                  cfg, outputs=outputs)
                 for k in range(K)]
-        return {key: np.stack([o[key] for o in outs])
-                for key in outs[0]}
+        res = {key: np.stack([o[key] for o in outs])
+               for key in outs[0]}
+        return ({key: jnp.asarray(a) for key, a in res.items()}
+                if device_out else res)
 
     # constant windows exactly as the single-pair path derives them:
     # both sides span cfg.dmax - cfg.dmin + 1 labels, the right solve
@@ -313,23 +326,25 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     max_k = (int(os.environ.get("MGM_TPU_BATCH_K", "0"))
              or max(1, int(60e6 // per_pair)))
     if K > max_k:
+        xp = jnp if dev_in else np
         outs = []
         for i in range(0, K, max_k):
             cu, cv = us[i:i + max_k], vs[i:i + max_k]
-            npad = max_k - len(cu)
+            npad = max_k - cu.shape[0]
             if npad:  # repeat the last pair: one compiled shape
-                cu = np.concatenate([cu, cu[-1:].repeat(npad, 0)])
-                cv = np.concatenate([cv, cv[-1:].repeat(npad, 0)])
-            o = compute_disparity_batch(cu, cv, cfg, outputs=outputs)
+                cu = xp.concatenate([cu, xp.repeat(cu[-1:], npad, 0)])
+                cv = xp.concatenate([cv, xp.repeat(cv[-1:], npad, 0)])
+            o = compute_disparity_batch(cu, cv, cfg, outputs=outputs,
+                                        device_out=device_out)
             outs.append({key: a[:max_k - npad] for key, a in o.items()})
-        return {key: np.concatenate([o[key] for o in outs])
-                for key in outs[0]}
+        cat = jnp.concatenate if device_out else np.concatenate
+        return {key: cat([o[key] for o in outs]) for key in outs[0]}
     sides_pair = tuple((int(g), 0, int(L) - 1) for g in gmins)
     sides = sides_pair * K
     p1, p2 = cfg.p1 * C, cfg.p2 * C
 
-    us_d = jnp.asarray(_u8_lossless(us))
-    vs_d = jnp.asarray(_u8_lossless(vs))
+    us_d = us if dev_in else jnp.asarray(_u8_lossless(us))
+    vs_d = vs if dev_in else jnp.asarray(_u8_lossless(vs))
     up, vp, w8 = _prep_fused_batch(us_d, vs_d, cfg=cfg, n_sides=n_sides)
     use_weights = cfg.a_p2 != 1.0
     if use_weights:
@@ -362,6 +377,8 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
         out["disp_right"] = disp[1::2]
         out["cost_right"] = cost[1::2]
     out = {k: a for k, a in out.items() if k in outputs}
+    if device_out:
+        return out
     return {k: np.asarray(a) for k, a in jax.device_get(out).items()}
 
 
