@@ -241,6 +241,41 @@ def _unpack_i16(a: np.ndarray) -> np.ndarray:
     return f
 
 
+@jax.jit
+def _pack_cat(*arrs):
+    flat = []
+    for a in arrs:
+        if a.dtype == jnp.float32:
+            a = jax.lax.bitcast_convert_type(a, jnp.int16)
+        flat.append(a.reshape(-1))
+    return jnp.concatenate(flat)
+
+
+def _fetch_packed(out: dict) -> dict:
+    """Fetch EVERY requested output in one device->host transfer:
+    float32 arrays are bitcast to int16 halves and all arrays flatten
+    into a single int16 buffer (remote-attached TPUs pay a 0.03-0.4 s
+    tunnel latency PER transferred array).  Bit-exact — NaNs and the
+    int16 disparity sentinel ride through the bitcast unchanged."""
+    keys = sorted(out)
+    if any(out[k].dtype not in (jnp.float32, jnp.int16) for k in keys):
+        return {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    buf = np.asarray(_pack_cat(*[out[k] for k in keys]))
+    res, off = {}, 0
+    for k in keys:
+        a = out[k]
+        n = int(np.prod(a.shape))
+        if a.dtype == jnp.float32:
+            seg = buf[off:off + 2 * n]
+            res[k] = np.frombuffer(seg.tobytes(),
+                                   np.float32).reshape(a.shape).copy()
+            off += 2 * n
+        else:
+            res[k] = np.array(buf[off:off + n]).reshape(a.shape)
+            off += n
+    return res
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_sides"))
 def _prep_fused_batch(us, vs, *, cfg: MGMConfig, n_sides: int):
     """Batched scrub + weights + prefilter: (K, H, W, C) pairs ->
@@ -379,7 +414,7 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     out = {k: a for k, a in out.items() if k in outputs}
     if device_out:
         return out
-    return {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    return _fetch_packed(out)
 
 
 def _mark(tag, prof, x=None):
@@ -714,8 +749,10 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         out = {k: np.asarray(multihost_utils.process_allgather(a,
                                                                tiled=True))
                for k, a in out.items()}
-    else:
+    elif mesh is not None:
         out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
+    else:
+        out = _fetch_packed(out)
     out = {k: _unpack_i16(a) for k, a in out.items()}
     if hpad:
         out = {k: a[:H] for k, a in out.items()}  # drop the fake rows

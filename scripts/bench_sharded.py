@@ -65,17 +65,24 @@ def main():
         H, W, _ = uu.shape
         mpd = 2 * H * W * L / 1e6
 
-        t_res, ts_r = timed(lambda: compute_disparity(
-            uu, vv, cfg, outputs=("disp",)), args.reps)
+        try:
+            # the resident kernel holds ALL rows in lanes: tall images
+            # exceed its scoped-VMEM budget by design (that regime
+            # belongs to the tiled runner / the mesh path)
+            t_res, ts_r = timed(lambda: compute_disparity(
+                uu, vv, cfg, outputs=("disp",)), args.reps)
+        except Exception as e:
+            t_res, ts_r = None, [f"{type(e).__name__}"[:40]]
         t_mesh, ts_m = timed(lambda: compute_disparity(
             uu, vv, cfg, outputs=("disp",), mesh=mesh1), args.reps)
         print(json.dumps({
             "metric": f"sharded-fused glue, {H} rows/device",
-            "resident_s": round(t_res, 4),
+            "resident_s": round(t_res, 4) if t_res else None,
             "mesh1_s": round(t_mesh, 4),
-            "overhead_x": round(t_mesh / t_res, 3),
+            "overhead_x": (round(t_mesh / t_res, 3) if t_res else None),
             "mesh1_mpds": round(mpd / t_mesh, 1),
-            "resident_reps": [round(t, 4) for t in ts_r],
+            "resident_reps": [round(t, 4) if isinstance(t, float) else t
+                              for t in ts_r],
             "mesh1_reps": [round(t, 4) for t in ts_m],
         }), flush=True)
     return 0
