@@ -22,7 +22,10 @@ import time
 import numpy as np
 
 BASELINE_MPDS = 5.8  # reference binary, same config, 1-core Xeon 2.10 GHz
-REPS = int(os.environ.get("MGM_TPU_BENCH_REPS", "6"))
+# the tunnel's bandwidth oscillates ~2x on minute timescales (round-4
+# measurements: 8-25 MB/s windows); more reps sample more windows and
+# keep the median representative
+REPS = int(os.environ.get("MGM_TPU_BENCH_REPS", "10"))
 
 
 def main():

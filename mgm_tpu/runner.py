@@ -172,7 +172,8 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                     outputs=("disp", "cost"), mesh=mesh, **kw)
                 finish(job, res["disp"], res["cost"])
     for grp, anch, wins_dev in pending:
-        wins = {k: np.asarray(a) for k, a in wins_dev.items()}
+        from .stereo import _fetch_packed
+        wins = _fetch_packed(wins_dev)
         for k, job in enumerate(grp):
             y0, x0, y1, x1, cy0, cx0 = job[:6]
             ay, ax = anch[k]
