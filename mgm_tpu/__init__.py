@@ -13,8 +13,22 @@ import os as _os
 # persistent compilation cache: the TPU toolchain's compile times are
 # high-variance (remote compile service); caching makes every config
 # compile at most once per machine.  Override with JAX_COMPILATION_CACHE_DIR.
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.expanduser("~/.cache/mgm_tpu_xla"))
+#
+# CPU-only runs (JAX_PLATFORMS=cpu: the test suite, the driver's
+# multichip dryrun) get NO persistent cache: XLA:CPU AOT executable
+# (de)serialization is unreliable on this jaxlib build — observed
+# SIGSEGV inside serialize-at-cache-write, SIGSEGV inside
+# deserialize-at-cache-read, and "Compile machine features ... not
+# supported on the host ... could lead to execution errors such as
+# SIGILL" warnings on every load (the VM's advertised and actual ISA
+# feature sets disagree).  In-process jit caching still applies; only
+# cross-run persistence is off.  TPU-attached runs keep the shared
+# directory — their entries are device programs and the expensive
+# remote-service compiles must stay warm.
+_CPU_ONLY = _os.environ.get("JAX_PLATFORMS", "") == "cpu"
+if not _CPU_ONLY:
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           _os.path.expanduser("~/.cache/mgm_tpu_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
@@ -24,7 +38,9 @@ def _configure_compilation_cache():
     vars above were read too late — set the config values directly."""
     import jax
 
-    if jax.config.jax_compilation_cache_dir is None:
+    if _CPU_ONLY:
+        jax.config.update("jax_enable_compilation_cache", False)
+    elif jax.config.jax_compilation_cache_dir is None:
         jax.config.update("jax_compilation_cache_dir",
                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update(
@@ -43,6 +59,57 @@ def _configure_compilation_cache():
 
 
 _configure_compilation_cache()
+
+
+def _atomic_cache_writes():
+    """jax's persistent-cache writes are a bare `write_bytes`
+    (jax._src.lru_cache.LRUCache.put): a process killed mid-write —
+    `timeout`-bounded runs are routine on this toolchain — leaves a
+    TRUNCATED entry, and XLA's executable deserializer SEGFAULTS on it
+    at the next read, bricking every later run that hits the key
+    (observed twice on this image).  Route the write through a temp
+    file + os.replace (atomic within the cache directory)."""
+    try:
+        import os
+        import time
+
+        from jax._src import lru_cache as _lru
+
+        csuf, asuf = _lru._CACHE_SUFFIX, _lru._ATIME_SUFFIX
+        assert isinstance(csuf, str) and isinstance(asuf, str)
+        assert hasattr(_lru.LRUCache, "_evict_if_needed")
+        import jax
+
+        assert tuple(int(x) for x in jax.__version__.split(".")[:2]) < (0, 10)
+
+        def put(self, key: str, val: bytes) -> None:
+            if not key:
+                raise ValueError("key cannot be empty")
+            if self.eviction_enabled and len(val) > self.max_size:
+                return
+            cache_path = self.path / f"{key}{csuf}"
+            if self.eviction_enabled:
+                self.lock.acquire(timeout=self.lock_timeout_secs)
+            try:
+                if cache_path.exists():
+                    return
+                self._evict_if_needed(additional_size=len(val))
+                tmp = self.path / f"{key}.{os.getpid()}.tmp"
+                tmp.write_bytes(val)
+                os.replace(tmp, cache_path)
+                if self.eviction_enabled:
+                    ts = time.time_ns().to_bytes(8, "little")
+                    (self.path / f"{key}{asuf}").write_bytes(ts)
+            finally:
+                if self.eviction_enabled:
+                    self.lock.release()
+
+        _lru.LRUCache.put = put
+    except Exception:  # pragma: no cover - jax internals moved
+        pass
+
+
+_atomic_cache_writes()
 
 
 def _enable_cache_on_experimental_platforms():

@@ -665,17 +665,40 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 lo_px=lo_idx if per_pixel else None,
                 hi_px=hi_idx if per_pixel else None)
         elif fused:
-            S, disp, cost = mgm_solve_fused(
-                u_p, v_p, w8 if use_weights else None, s_lo, s_hi,
-                sides=sides, L=int(L), ndir=cfg.ndir, mgm=cfg.mgm,
-                p1=p1, p2=p2, mode=cfg.distance, nch=int(u_p.shape[2]),
-                trunc_dist=cfg.trunc_dist, use_fh=cfg.use_trunc_linear,
-                use_weights=use_weights,
-                fix_overcount=cfg.fix_overcount, backend=fused,
-                want_S="taps" if cfg.refinement != "none" else False,
-                const_sw=(it == 0 and not per_pixel),
-                lo_px=lo_idx if per_pixel else None,
-                hi_px=hi_idx if per_pixel else None)
+            try:
+                S, disp, cost = mgm_solve_fused(
+                    u_p, v_p, w8 if use_weights else None, s_lo, s_hi,
+                    sides=sides, L=int(L), ndir=cfg.ndir, mgm=cfg.mgm,
+                    p1=p1, p2=p2, mode=cfg.distance,
+                    nch=int(u_p.shape[2]), trunc_dist=cfg.trunc_dist,
+                    use_fh=cfg.use_trunc_linear, use_weights=use_weights,
+                    fix_overcount=cfg.fix_overcount, backend=fused,
+                    want_S="taps" if cfg.refinement != "none" else False,
+                    const_sw=(it == 0 and not per_pixel),
+                    lo_px=lo_idx if per_pixel else None,
+                    hi_px=hi_idx if per_pixel else None)
+            except Exception as e:  # noqa: BLE001 — matched below
+                # the resident launch holds every image row in lanes:
+                # tall images exceed its scoped-VMEM budget at compile
+                # time (~H > 900 at fountain23 geometry).  The
+                # row-sharded pipeline on a 1-DEVICE mesh runs the same
+                # kernels block-by-block and is bitwise-equal, so
+                # route the solve there instead of failing
+                # (scripts/bench_sharded.py: 348 MP*disp/s at H=1000
+                # where the resident compile OOMs).
+                from .parallel.fused_shard import sharded_eligible
+
+                oom = "vmem" in str(e).lower() or "memory" in str(e).lower()
+                if not (oom and it == 0 and cfg.iterations == 1
+                        and sharded_eligible(cfg.ndir, cfg.mgm,
+                                             cfg.distance)):
+                    raise
+                from jax.sharding import Mesh
+
+                mesh1 = Mesh(np.array(jax.devices()[:1]), ("y",))
+                return compute_disparity(
+                    u, v, cfg, dmin_img=dmin_img, dmax_img=dmax_img,
+                    outputs=outputs, mesh=mesh1)
         else:
             S, disp, cost = mgm_solve(
                 cc, w8 if use_weights else None, lo_idx, hi_idx, s_lo, s_hi,

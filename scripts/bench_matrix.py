@@ -55,6 +55,11 @@ MATRIX = {
     # all 8 pairs — the reference solves them sequentially at 2.8
     "cfg3_b8": ("satellite", {"test_lr": True, "pairs": 8},
                 "satellite", 2.8),
+    # all 16 directions incl. the 22.5-degree knight passes — the
+    # reference SEGFAULTS at -O 16 (8-entry pass table,
+    # mgm_core.cc:463-471,489), so no reference number exists;
+    # vs_baseline nominally uses cfg1's 5.8
+    "full_16dir": ("fast_ad", {"ndir": 16}, "fountain", 5.8),
 }
 
 

@@ -176,11 +176,13 @@ def test_sharded_fused_pipeline(rng, monkeypatch):
          "pp"),
         # mgm=4 routes passes 2/3/5/7 into the packed parity spaces:
         # round-4 run_p_group (lockstep half-row apron pipeline, both
-        # spaces in one launch); ndir=8 covers AB+V+parity together
+        # spaces in one launch); ndir=8 covers AB+V+parity together.
+        # Two cases only — each sharded interpret case costs minutes
+        # of XLA CPU compile, and folding more features into one case
+        # (pp+vfit together) produced a program the XLA CPU compiler
+        # aborts on
         (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4, test_lr=True),
          None),
-        (4, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=4, refinement="vfit",
-                      test_lr=True), None),
         (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4, test_lr=True),
          "pp"),
     ]
