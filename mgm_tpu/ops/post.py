@@ -97,6 +97,32 @@ def update_dmin_dmax(disp, lo, hi, *, slack: int = 3, radius: int = 2):
     return (jnp.where(upd, lo2, lo), jnp.where(upd, hi2, hi), gmin, gmax)
 
 
+def backflow_host(disp: "np.ndarray", v: "np.ndarray",
+                  u: "np.ndarray") -> "np.ndarray":
+    """Bitwise numpy twin of `backflow` for raw host images.
+
+    Needed when the device holds census-exact uint16 codes instead of
+    intensities (ops/census_codec.py): backflow is the one output that
+    reads raw pixel VALUES, so it is rebuilt on the host from the
+    fetched disparity and the original images (scrubbed like the
+    device prep).  Same floor/clip/where ops on the same float32
+    inputs -> identical bits."""
+    import numpy as np
+    u = np.nan_to_num(np.asarray(u, np.float32), nan=0.0, posinf=0.0,
+                      neginf=0.0)
+    v = np.nan_to_num(np.asarray(v, np.float32), nan=0.0, posinf=0.0,
+                      neginf=0.0)
+    H, W, C = u.shape
+    x = np.arange(W, dtype=np.float32)[None, :]
+    t = x + disp
+    with np.errstate(invalid="ignore"):
+        inside = (t >= 0) & (t < W)  # NaN -> False
+    qx = np.floor(np.nan_to_num(t, nan=0.0)).astype(np.int32)
+    qx = np.clip(qx, 0, W - 1)
+    vg = np.take_along_axis(v, qx[..., None], axis=1)
+    return np.where(inside[..., None], vg, u)
+
+
 @jax.jit
 def backflow(disp, v, u):
     """Backprojected right image (mgm.cc:432-443): syn(p) = v(x+d, y)

@@ -107,19 +107,32 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
 
     use_batch = batch > 1 and len(jobs) > 1
     if use_batch:
-        # SCENE-RESIDENT batching: upload the scene pair ONCE, slice
-        # each group's context crops on device (vmapped dynamic_slice,
-        # one compiled program for every group), and fetch only a
-        # core-sized window per tile.  On remote-attached TPUs the
-        # tunnel bytes dominate: per-call crop upload (margin overlap
-        # re-shipped every tile) + full-context fetch made the scene
-        # ~2.2x the traffic this path pays.
+        # STREAMED batching: the scene flows through a three-stage
+        # host pipeline — per-group slab upload, batched solve, core
+        # window fetch — with every stage overlapped.  Remote-attached
+        # TPUs move host<->device bytes over a tunnel whose up- and
+        # down-links run concurrently but each at a fraction of the
+        # link (PERF.md round-4/5 satellite analysis), so the scene
+        # wall is max(upload, fetch, device), not their sum:
+        #   - uploads are per-group row slabs, dispatched ahead
+        #     (device_put is async) while earlier groups compute and
+        #     fetch; census-cost configs ship slabs as census-exact
+        #     uint16 codes (ops/census_codec.py) at half the float32
+        #     bytes, encoded concurrently on a host pool.  Non-codec
+        #     scenes upload DISJOINT bands (no margin-overlap
+        #     re-shipping) and assemble each slab by device concat.
+        #   - each group's compute is dispatched as soon as its slab
+        #     is in flight (one compiled program for every group);
+        #   - only core-sized windows are fetched, each on a worker
+        #     thread in parallel chunk streams (stereo._fetch_buf),
+        #     overlapping later groups' uploads via tunnel duplex.
         import jax
         import jax.numpy as jnp
+        from concurrent.futures import ThreadPoolExecutor
         from functools import partial
-        from .stereo import compute_disparity_batch
+        from .stereo import (_fetch_packed, _u8_lossless, _upload_form,
+                             compute_disparity_batch)
 
-        u_d, v_d = jnp.asarray(u), jnp.asarray(v)
         ctx_h = min(H, tile + 2 * margin)
         ctx_w = min(W, tile + 2 * margin + pad_l + pad_r)
         th, tw = min(tile, ctx_h), min(tile, ctx_w)
@@ -134,53 +147,119 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
             return jax.vmap(lambda x, o: jax.lax.dynamic_slice(
                 x, (o[0], o[1]), (h, w)))(a, offs)
 
-    pending = []  # dispatched groups awaiting their core fetch
-    for i in range(0, len(jobs), max(batch, 1)):
-        grp = jobs[i:i + max(batch, 1)]
-        if use_batch:
-            # pad a short trailing group to the full batch size by
-            # repeating the last tile: one compiled program for every
-            # group (per-shape compiles cost minutes on a remote
-            # compile service)
+        # groups NEVER straddle tile rows: every group's jobs then
+        # share one context row band (a constant-height slab -> one
+        # compiled shape for all groups)
+        groups = []
+        row, cur = None, []
+        for job in jobs:
+            if job[0] != row or len(cur) == batch:
+                if cur:
+                    groups.append(cur)
+                row, cur = job[0], []
+            cur.append(job)
+        if cur:
+            groups.append(cur)
+
+        wire_u, wire_v = _u8_lossless(u), _u8_lossless(v)
+        use_codec = False
+        if wire_u.dtype == np.float32 or wire_v.dtype == np.float32:
+            from .ops import census_codec
+            use_codec = (census_codec.eligible(cfg)
+                         and os.environ.get("MGM_TPU_CODEC16", "1")
+                         != "0")
+
+        enc_pool = ThreadPoolExecutor(max_workers=4)
+        fetch_pool = ThreadPoolExecutor(max_workers=4)
+        if use_codec:
+            # overlapping slabs, each ENCODED INDEPENDENTLY: a slab's
+            # decoded values are only ever compared within that slab's
+            # solve, so per-slab maps stay exact (census_codec.py)
+            def slab_forms(g):
+                cy0, cy1 = g[0][4], g[0][6]
+                return (_upload_form(u[cy0:cy1], cfg),
+                        _upload_form(v[cy0:cy1], cfg))
+            forms = [enc_pool.submit(slab_forms, g) for g in groups]
+
+        import time as _time
+        prof = os.environ.get("MGM_TPU_PROFILE")
+        t0 = _time.perf_counter()
+        stats = {"encode_wait": 0.0, "upload_bytes": 0,
+                 "dispatch_done": 0.0, "fetch_tail": 0.0}
+        pending = []
+        prev = None  # (cy0, slab_u, slab_v) of the previous group
+        for gi, grp in enumerate(groups):
+            cy0, cy1 = grp[0][4], grp[0][6]
+            if use_codec:
+                te = _time.perf_counter()
+                su, sv = forms[gi].result()
+                stats["encode_wait"] += _time.perf_counter() - te
+                stats["upload_bytes"] += su.nbytes + sv.nbytes
+                slab_u, slab_v = jnp.asarray(su), jnp.asarray(sv)
+            elif prev is not None and cy0 < prev[0] + prev[1].shape[0]:
+                # disjoint band upload + device concat with the tail
+                # of the previous slab
+                b0 = prev[0] + prev[1].shape[0]
+                bu, bv = (jnp.asarray(wire_u[b0:cy1]),
+                          jnp.asarray(wire_v[b0:cy1]))
+                slab_u = jnp.concatenate([prev[1][cy0 - prev[0]:], bu])
+                slab_v = jnp.concatenate([prev[2][cy0 - prev[0]:], bv])
+            else:
+                slab_u = jnp.asarray(wire_u[cy0:cy1])
+                slab_v = jnp.asarray(wire_v[cy0:cy1])
+            prev = (cy0, slab_u, slab_v)
             padded = grp + [grp[-1]] * (batch - len(grp))
-            offs = jnp.asarray([[j[4], j[5]] for j in padded], jnp.int32)
-            us = crop_stack(u_d, offs, h=ctx_h, w=ctx_w)
-            vs = crop_stack(v_d, offs, h=ctx_h, w=ctx_w)
+            offs = jnp.asarray([[j[4] - cy0, j[5]] for j in padded],
+                               jnp.int32)
+            us = crop_stack(slab_u, offs, h=ctx_h, w=ctx_w)
+            vs = crop_stack(slab_v, offs, h=ctx_h, w=ctx_w)
             res = compute_disparity_batch(us, vs, cfg,
                                           outputs=("disp", "cost"),
                                           device_out=True)
             # core-sized fetch windows: anchored so the [y0,y1)x[x0,x1)
-            # core always lies inside (edge tiles shift inward).  The
-            # fetch itself is DEFERRED (async dispatch): every group's
-            # compute is issued before the first device->host transfer,
-            # so transfers overlap later groups' device time
+            # core always lies inside (edge tiles shift inward)
             anch = [(min(j[0] - j[4], ctx_h - th),
                      min(j[1] - j[5], ctx_w - tw)) for j in padded]
             aoffs = jnp.asarray(anch, jnp.int32)
+            wins_dev = {k: core_stack(res[k], aoffs, h=th, w=tw)
+                        for k in ("disp", "cost")}
             pending.append((grp, anch,
-                            {k: core_stack(res[k], aoffs, h=th, w=tw)
-                             for k in ("disp", "cost")}))
-        else:
-            for job in grp:
-                y0, x0, y1, x1, cy0, cx0, cy1, cx1, ckpt = job
-                kw = {}
-                if dmin_img is not None:
-                    kw = dict(dmin_img=dmin_img[cy0:cy1, cx0:cx1],
-                              dmax_img=dmax_img[cy0:cy1, cx0:cx1])
-                res = compute_disparity(
-                    u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
-                    outputs=("disp", "cost"), mesh=mesh, **kw)
-                finish(job, res["disp"], res["cost"])
-    for grp, anch, wins_dev in pending:
-        from .stereo import _fetch_packed
-        wins = _fetch_packed(wins_dev)
-        for k, job in enumerate(grp):
-            y0, x0, y1, x1, cy0, cx0 = job[:6]
-            ay, ax = anch[k]
-            oy, ox = y0 - cy0 - ay, x0 - cx0 - ax
-            fake = list(job)
-            fake[4], fake[5] = y0 - oy, x0 - ox  # window origin
-            finish(tuple(fake), wins["disp"][k], wins["cost"][k])
+                            fetch_pool.submit(_fetch_packed, wins_dev)))
+        stats["dispatch_done"] = _time.perf_counter() - t0
+        for grp, anch, fut in pending:
+            wins = fut.result()
+            for k, job in enumerate(grp):
+                y0, x0, y1, x1, cy0, cx0 = job[:6]
+                ay, ax = anch[k]
+                oy, ox = y0 - cy0 - ay, x0 - cx0 - ax
+                fake = list(job)
+                fake[4], fake[5] = y0 - oy, x0 - ox  # window origin
+                finish(tuple(fake), wins["disp"][k], wins["cost"][k])
+        stats["fetch_tail"] = (_time.perf_counter() - t0
+                               - stats["dispatch_done"])
+        if prof:
+            if not use_codec:
+                stats["upload_bytes"] = wire_u.nbytes + wire_v.nbytes
+            print(f"[profile] stream: groups={len(groups)} "
+                  f"codec={use_codec} "
+                  f"upload={stats['upload_bytes'] / 1e6:.1f}MB "
+                  f"encode_wait={stats['encode_wait'] * 1e3:.0f}ms "
+                  f"dispatch_done={stats['dispatch_done'] * 1e3:.0f}ms "
+                  f"fetch_tail={stats['fetch_tail'] * 1e3:.0f}ms",
+                  flush=True)
+        enc_pool.shutdown()
+        fetch_pool.shutdown()
+    else:
+        for job in jobs:
+            y0, x0, y1, x1, cy0, cx0, cy1, cx1, ckpt = job
+            kw = {}
+            if dmin_img is not None:
+                kw = dict(dmin_img=dmin_img[cy0:cy1, cx0:cx1],
+                          dmax_img=dmax_img[cy0:cy1, cx0:cx1])
+            res = compute_disparity(
+                u[cy0:cy1, cx0:cx1], v[cy0:cy1, cx0:cx1], cfg,
+                outputs=("disp", "cost"), mesh=mesh, **kw)
+            finish(job, res["disp"], res["cost"])
     return {"disp": disp, "cost": cost, "tiles_solved": n_solved}
 
 

@@ -82,6 +82,44 @@ def _u8_lossless(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _upload_form(a: np.ndarray, cfg) -> np.ndarray:
+    """Smallest lossless wire form of an image for this config:
+    uint8 when the values are 8-bit, else census-exact uint16 codes
+    (ops/census_codec.py) for census-cost configs, else the array
+    itself.  Both compact forms are cast back to float32 by the jitted
+    prep stages; outputs are bit-identical either way.
+    MGM_TPU_CODEC16=0 disables the uint16 codes."""
+    r = _u8_lossless(a)
+    if (r.dtype == np.float32
+            and os.environ.get("MGM_TPU_CODEC16", "1") != "0"):
+        from .ops import census_codec
+        if census_codec.eligible(cfg):
+            enc = census_codec.encode(r, cfg.census_ncc_win)
+            if enc is not None:
+                return enc
+    return r
+
+
+def _upload_form_batch(a: np.ndarray, cfg) -> np.ndarray:
+    """_upload_form for a (K, H, W, C) pair stack: each pair image is
+    encoded independently (concurrently — the encode is host-side
+    numpy, dominated by GIL-released sorts)."""
+    r = _u8_lossless(a)
+    if (r.dtype == np.float32
+            and os.environ.get("MGM_TPU_CODEC16", "1") != "0"):
+        from .ops import census_codec
+        if census_codec.eligible(cfg):
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                encs = list(pool.map(
+                    lambda k: census_codec.encode(r[k],
+                                                  cfg.census_ncc_win),
+                    range(r.shape[0])))
+            if all(e is not None for e in encs):
+                return np.stack(encs)
+    return r
+
+
 def _prep_core(u, v, cfg: MGMConfig, n_sides: int):
     """Scrub + adaptive weights + prefilter (traced body shared by the
     fused and mesh prep stages)."""
@@ -251,6 +289,38 @@ def _pack_cat(*arrs):
     return jnp.concatenate(flat)
 
 
+_FETCH_POOL = None
+
+
+def _fetch_buf(buf) -> np.ndarray:
+    """Fetch a flat device buffer in parallel chunk streams.
+
+    The remote-attach tunnel caps each device->host stream at a
+    fraction of the link (measured: 1 stream 5-17 MB/s, 8-12 streams
+    20-40 MB/s aggregate in the same minute), so one large transfer
+    is split into MGM_TPU_FETCH_STREAMS (default 12) concurrently
+    fetched slices.  Chunks are >= 256 KiB so small outputs still pay
+    a single per-array tunnel round-trip.  Bit-exact: the slices are
+    reassembled verbatim."""
+    n = int(buf.size)
+    try:
+        streams = int(os.environ.get("MGM_TPU_FETCH_STREAMS", "12"))
+    except ValueError:
+        streams = 12
+    itemsize = np.dtype(buf.dtype).itemsize
+    nchunks = max(1, min(streams, (n * itemsize) // (256 * 1024)))
+    if nchunks <= 1:
+        return np.asarray(buf)
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FETCH_POOL = ThreadPoolExecutor(max_workers=16)
+    bounds = [n * i // nchunks for i in range(nchunks + 1)]
+    parts = list(_FETCH_POOL.map(
+        np.asarray, [buf[bounds[i]:bounds[i + 1]] for i in range(nchunks)]))
+    return np.concatenate(parts)
+
+
 def _fetch_packed(out: dict) -> dict:
     """Fetch EVERY requested output in one device->host transfer:
     float32 arrays are bitcast to int16 halves and all arrays flatten
@@ -260,7 +330,7 @@ def _fetch_packed(out: dict) -> dict:
     keys = sorted(out)
     if any(out[k].dtype not in (jnp.float32, jnp.int16) for k in keys):
         return {k: np.asarray(a) for k, a in jax.device_get(out).items()}
-    buf = np.asarray(_pack_cat(*[out[k] for k in keys]))
+    buf = _fetch_buf(_pack_cat(*[out[k] for k in keys]))
     res, off = {}, 0
     for k in keys:
         a = out[k]
@@ -369,17 +439,21 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
             if npad:  # repeat the last pair: one compiled shape
                 cu = xp.concatenate([cu, xp.repeat(cu[-1:], npad, 0)])
                 cv = xp.concatenate([cv, xp.repeat(cv[-1:], npad, 0)])
+            # chunks stay on device: every chunk's compute is
+            # dispatched (async) before any device->host transfer, and
+            # the host fetch is ONE packed parallel-chunk transfer
             o = compute_disparity_batch(cu, cv, cfg, outputs=outputs,
-                                        device_out=device_out)
+                                        device_out=True)
             outs.append({key: a[:max_k - npad] for key, a in o.items()})
-        cat = jnp.concatenate if device_out else np.concatenate
-        return {key: cat([o[key] for o in outs]) for key in outs[0]}
+        res = {key: jnp.concatenate([o[key] for o in outs])
+               for key in outs[0]}
+        return res if device_out else _fetch_packed(res)
     sides_pair = tuple((int(g), 0, int(L) - 1) for g in gmins)
     sides = sides_pair * K
     p1, p2 = cfg.p1 * C, cfg.p2 * C
 
-    us_d = us if dev_in else jnp.asarray(_u8_lossless(us))
-    vs_d = vs if dev_in else jnp.asarray(_u8_lossless(vs))
+    us_d = us if dev_in else jnp.asarray(_upload_form_batch(us, cfg))
+    vs_d = vs if dev_in else jnp.asarray(_upload_form_batch(vs, cfg))
     up, vp, w8 = _prep_fused_batch(us_d, vs_d, cfg=cfg, n_sides=n_sides)
     use_weights = cfg.a_p2 != 1.0
     if use_weights:
@@ -563,10 +637,16 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     fused = _fused_backend(cfg, per_pixel) if mesh is None else None
     backend = "auto"
     if mesh is None:
-        u_dev = jnp.asarray(_u8_lossless(u))
-        v_dev = jnp.asarray(_u8_lossless(v))
+        u_dev = jnp.asarray(_upload_form(u, cfg))
+        v_dev = jnp.asarray(_upload_form(v, cfg))
     else:
-        u_dev, v_dev = _u8_lossless(u), _u8_lossless(v)  # _shard uploads
+        # _shard uploads
+        u_dev, v_dev = _upload_form(u, cfg), _upload_form(v, cfg)
+    # census-exact uint16 codes on the wire: every cost/disparity
+    # output is bit-identical, but backflow reads raw pixel VALUES, so
+    # it is rebuilt host-side after the fetch (ops/post.backflow_host)
+    coded = (np.dtype(u_dev.dtype) == np.uint16
+             or np.dtype(v_dev.dtype) == np.uint16)
     if mesh is not None:
         # row-shard the pipeline: images arrive replicated (prefilters
         # and weights read row neighbourhoods at the true boundary),
@@ -753,18 +833,22 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     disp, disp_nolr, back = _postprocess(
         disp, u_j, v_j, jnp.float32(cfg.lr_tau),
         median_radius=cfg.median_radius, test_lr=cfg.test_lr,
-        n_sides=n_sides, want_backflow=want_back, pack_i16=pack_i16)
+        n_sides=n_sides, want_backflow=want_back and not coded,
+        pack_i16=pack_i16)
     _mark("postprocess", prof, (disp, disp_nolr))
 
     out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0]}
-    if want_back:
+    if want_back and not coded:
         out["backflow"] = back
     if n_sides == 2:
         out["disp_right"] = disp[1]
         out["cost_right"] = cost[1]
         out["disp_nolr_right"] = disp_nolr[1]
     if outputs is not None:
-        out = {k: v for k, v in out.items() if k in outputs}
+        keep = set(outputs)
+        if want_back and coded:
+            keep.add("disp")  # backflow_host rebuilds from disp
+        out = {k: v for k, v in out.items() if k in keep}
     if mesh is not None and jax.process_count() > 1:
         # multi-controller: shards live on other hosts; allgather them
         from jax.experimental import multihost_utils
@@ -779,5 +863,9 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     out = {k: _unpack_i16(a) for k, a in out.items()}
     if hpad:
         out = {k: a[:H] for k, a in out.items()}  # drop the fake rows
+    if want_back and coded:
+        out["backflow"] = post.backflow_host(out["disp"], v, u)
+        if outputs is not None and "disp" not in outputs:
+            del out["disp"]
     _mark("device_get", prof)
     return out

@@ -55,6 +55,11 @@ MATRIX = {
     # all 8 pairs — the reference solves them sequentially at 2.8
     "cfg3_b8": ("satellite", {"test_lr": True, "pairs": 8},
                 "satellite", 2.8),
+    # deeper serving batch: 32 pairs (203 MP*disp of work) through the
+    # VMEM-chunked batch API, amortising per-call + per-transfer
+    # overheads further; uploads ride the census-exact uint16 codec
+    "cfg3_b32": ("satellite", {"test_lr": True, "pairs": 32},
+                 "satellite", 2.8),
     # all 16 directions incl. the 22.5-degree knight passes — the
     # reference SEGFAULTS at -O 16 (8-entry pass table,
     # mgm_core.cc:463-471,489), so no reference number exists;

@@ -102,6 +102,28 @@ def test_tiled_per_pixel_windows(rng):
     np.testing.assert_array_equal(out["cost"], ref["cost"])
 
 
+def test_tiled_batch_codec_stream_exact(rng, monkeypatch):
+    """The streamed batch path with census-exact uint16 slab uploads
+    (per-slab codecs) mosaics bitwise-identically to the raw-float32
+    stream AND to the sequential tiling."""
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    cfg = MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=2, distance="census",
+                    census_ncc_win=5, test_lr=True)
+    u, v = _pair(rng, H=32, W=48)
+    u += 300.0  # not uint8-representable -> the codec path engages
+    v += 300.0
+    from mgm_tpu.ops import census_codec
+    assert census_codec.eligible(cfg)
+    seq = tiled_disparity(u, v, cfg, tile=16, margin=4)
+    monkeypatch.setenv("MGM_TPU_CODEC16", "0")
+    raw = tiled_disparity(u, v, cfg, tile=16, margin=4, batch=3)
+    monkeypatch.setenv("MGM_TPU_CODEC16", "1")
+    coded = tiled_disparity(u, v, cfg, tile=16, margin=4, batch=3)
+    for k in ("disp", "cost"):
+        np.testing.assert_array_equal(raw[k], coded[k], err_msg=k)
+        np.testing.assert_array_equal(seq[k], coded[k], err_msg=k)
+
+
 def test_tiled_batch_matches_sequential(rng, monkeypatch):
     """batch>1 groups same-shape tile crops into one launch set; the
     mosaic must equal the sequential tiling exactly (and pad a short
