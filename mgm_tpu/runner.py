@@ -195,7 +195,10 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                 su, sv = forms[gi].result()
                 stats["encode_wait"] += _time.perf_counter() - te
                 stats["upload_bytes"] += su.nbytes + sv.nbytes
-                slab_u, slab_v = jnp.asarray(su), jnp.asarray(sv)
+                from .stereo import _decode16
+                dec = (lambda h: _decode16(jnp.asarray(h))
+                       if h.dtype == np.uint16 else jnp.asarray(h))
+                slab_u, slab_v = dec(su), dec(sv)
             elif prev is not None and cy0 < prev[0] + prev[1].shape[0]:
                 # disjoint band upload + device concat with the tail
                 # of the previous slab

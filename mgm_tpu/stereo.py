@@ -82,6 +82,15 @@ def _u8_lossless(a: np.ndarray) -> np.ndarray:
     return a
 
 
+@jax.jit
+def _decode16(a):
+    """Device-side decode of census-exact uint16 codes: a plain cast
+    (the codes ARE the values the pipeline consumes).  Kept as its own
+    tiny program so every downstream stage traces on float32 — the
+    same jaxprs (and compiled executables) as the raw-float32 path."""
+    return a.astype(jnp.float32)
+
+
 def _upload_form(a: np.ndarray, cfg) -> np.ndarray:
     """Smallest lossless wire form of an image for this config:
     uint8 when the values are 8-bit, else census-exact uint16 codes
@@ -292,33 +301,52 @@ def _pack_cat(*arrs):
 _FETCH_POOL = None
 
 
+@partial(jax.jit, static_argnames=("ln",))
+def _dslice(buf, start, *, ln):
+    """One chunk of a flat buffer.  `start` is a TRACED scalar, so all
+    chunks of a given (buffer size, chunk length) share ONE compiled
+    program — on toolchains with a remote compile service, offset-
+    specialised static slices cost a service round-trip each."""
+    return jax.lax.dynamic_slice(buf, (start,), (ln,))
+
+
 def _fetch_buf(buf) -> np.ndarray:
     """Fetch a flat device buffer in parallel chunk streams.
 
     The remote-attach tunnel caps each device->host stream at a
     fraction of the link (measured: 1 stream 5-17 MB/s, 8-12 streams
     20-40 MB/s aggregate in the same minute), so one large transfer
-    is split into MGM_TPU_FETCH_STREAMS (default 12) concurrently
-    fetched slices.  Chunks are >= 256 KiB so small outputs still pay
-    a single per-array tunnel round-trip.  Bit-exact: the slices are
-    reassembled verbatim."""
+    is split into ~MGM_TPU_FETCH_STREAMS (default 12) concurrently
+    fetched slices.  Chunks are power-of-two sized and >= 128 KiB so
+    small outputs still pay a single per-array tunnel round-trip.
+    Bit-exact: the slices are reassembled verbatim."""
     n = int(buf.size)
     try:
         streams = int(os.environ.get("MGM_TPU_FETCH_STREAMS", "12"))
     except ValueError:
         streams = 12
     itemsize = np.dtype(buf.dtype).itemsize
-    nchunks = max(1, min(streams, (n * itemsize) // (256 * 1024)))
-    if nchunks <= 1:
+    nbytes = n * itemsize
+    if streams <= 1 or nbytes <= 2 * 128 * 1024:
         return np.asarray(buf)
+    cb = max(nbytes // streams, 128 * 1024)
+    cb = 1 << (cb - 1).bit_length()  # pow2 chunk bytes
+    ce = cb // itemsize
+    k, rem = divmod(n, ce)
     global _FETCH_POOL
     if _FETCH_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
         _FETCH_POOL = ThreadPoolExecutor(max_workers=16)
-    bounds = [n * i // nchunks for i in range(nchunks + 1)]
-    parts = list(_FETCH_POOL.map(
-        np.asarray, [buf[bounds[i]:bounds[i + 1]] for i in range(nchunks)]))
-    return np.concatenate(parts)
+    try:
+        parts = [_dslice(buf, np.int32(i * ce), ln=ce) for i in range(k)]
+        if rem:  # tail rides the same program, re-anchored; host-trimmed
+            parts.append(_dslice(buf, np.int32(n - ce), ln=ce))
+        out = list(_FETCH_POOL.map(np.asarray, parts))
+    except Exception:  # e.g. the remote compile service is down for
+        return np.asarray(buf)  # the (new) slice program: single fetch
+    if rem:
+        out[-1] = out[-1][ce - rem:]
+    return np.concatenate(out)
 
 
 def _fetch_packed(out: dict) -> dict:
@@ -454,6 +482,8 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
 
     us_d = us if dev_in else jnp.asarray(_upload_form_batch(us, cfg))
     vs_d = vs if dev_in else jnp.asarray(_upload_form_batch(vs, cfg))
+    if np.dtype(us_d.dtype) == np.uint16:
+        us_d, vs_d = _decode16(us_d), _decode16(vs_d)
     up, vp, w8 = _prep_fused_batch(us_d, vs_d, cfg=cfg, n_sides=n_sides)
     use_weights = cfg.a_p2 != 1.0
     if use_weights:
@@ -647,6 +677,8 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     # it is rebuilt host-side after the fetch (ops/post.backflow_host)
     coded = (np.dtype(u_dev.dtype) == np.uint16
              or np.dtype(v_dev.dtype) == np.uint16)
+    if coded and mesh is None:
+        u_dev, v_dev = _decode16(u_dev), _decode16(v_dev)
     if mesh is not None:
         # row-shard the pipeline: images arrive replicated (prefilters
         # and weights read row neighbourhoods at the true boundary),
@@ -673,6 +705,8 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
 
         u_dev = _shard(u_dev)   # replicated; sharded after padding
         v_dev = _shard(v_dev)
+        if coded:
+            u_dev, v_dev = _decode16(u_dev), _decode16(v_dev)
         if lo_idx is not None:
             lo_idx = _shard(lo_idx, None, "y", None)
             hi_idx = _shard(hi_idx, None, "y", None)

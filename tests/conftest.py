@@ -3,6 +3,11 @@
 Unit tests verify numerics against the pure-numpy oracle (tests/oracle.py)
 and multi-device sharding against single-device runs; neither needs the
 real TPU chip, and CPU keeps the suite hermetic and parallel-safe.
+
+MGM_TPU_FULL_TESTS=1 widens the interpret-mode Pallas matrices
+(tests/test_fused.py CASES/WTA_CASES, test_sharding sharded-fused
+cases) to their full cross-products — each such case costs minutes of
+XLA CPU compile, so the default run keeps one case per mechanism.
 """
 import os
 

@@ -91,31 +91,40 @@ def _compare(rng, H=18, W=29, dmin=-6, dmax=4, ndir=4, mgm=2, mode="ad",
             f"non-tie disparity mismatch at {(n, y, x)}"
 
 
+# Each interpret-mode case costs minutes of XLA CPU compile; the
+# default run keeps one case per mechanism (spaces, costs, FH,
+# weights, parity, overcount, wide windows) and MGM_TPU_FULL_TESTS=1
+# restores the full cross-product matrix.
+import os as _os
+
+_FULL = bool(_os.environ.get("MGM_TPU_FULL_TESTS"))
+
 CASES = [
     dict(ndir=1, mgm=1),
     dict(ndir=4, mgm=2),
-    dict(ndir=4, mgm=2, test_lr=False),
     dict(ndir=4, mgm=2, mode="census", C=1),
-    dict(ndir=4, mgm=2, mode="btad"),
     dict(ndir=8, mgm=4),
     dict(ndir=8, mgm=3),
-    dict(ndir=8, mgm=2, use_weights=True),
     dict(ndir=8, mgm=3, use_fh=True, p1=2.0, p2=50.0),
-    dict(ndir=8, mgm=3, use_weights=True, use_fh=True),
-    dict(ndir=4, mgm=2, trunc_dist=20.0),
     dict(ndir=4, mgm=2, dmin=-40, dmax=26),   # window wider than image
-    dict(ndir=4, mgm=2, fix_overcount=False),
     # packed parity spaces (mgm=4 passes 2/3/5/7)
     dict(ndir=4, mgm=4),
+    dict(ndir=4, mgm=4, mode="census", C=1),
+    dict(ndir=8, mgm=4, use_weights=True, use_fh=True),
+] + ([
+    dict(ndir=4, mgm=2, test_lr=False),
+    dict(ndir=4, mgm=2, mode="btad"),
+    dict(ndir=8, mgm=2, use_weights=True),
+    dict(ndir=8, mgm=3, use_weights=True, use_fh=True),
+    dict(ndir=4, mgm=2, trunc_dist=20.0),
+    dict(ndir=4, mgm=2, fix_overcount=False),
     dict(ndir=4, mgm=4, use_weights=True),
     dict(ndir=8, mgm=4, use_fh=True, p1=2.0, p2=50.0),
-    dict(ndir=8, mgm=4, use_weights=True, use_fh=True),
-    dict(ndir=4, mgm=4, mode="census", C=1),
     dict(ndir=4, mgm=4, mode="btad"),
     dict(ndir=4, mgm=4, H=17, W=23, test_lr=False),
     dict(ndir=4, mgm=4, fix_overcount=False),
     dict(ndir=4, mgm=4, dmin=-40, dmax=26),
-]
+] if _FULL else [])
 
 
 @pytest.mark.parametrize("case", CASES,
@@ -128,25 +137,26 @@ WTA_CASES = [
     dict(ndir=1, mgm=1),                      # single space, fwd only
     dict(ndir=2, mgm=2),                      # space A fwd+bwd
     dict(ndir=4, mgm=2),                      # both spaces, slope 1
-    dict(ndir=4, mgm=2, test_lr=False),
     dict(ndir=4, mgm=2, mode="census", C=1),
     dict(ndir=4, mgm=3, use_fh=True, p1=2.0, p2=50.0),
-    dict(ndir=4, mgm=3, use_weights=True),
     dict(ndir=2, mgm=4),                      # slope 2 (NE dep active)
-    dict(ndir=4, mgm=2, fix_overcount=False),
-    dict(ndir=4, mgm=2, dmin=-40, dmax=26),
     dict(ndir=8, mgm=3),                      # A+B+V, three-space sum
-    dict(ndir=8, mgm=2, use_fh=True, p1=2.0, p2=50.0),
-    dict(ndir=8, mgm=1),                      # slope-1 A+B, all 8 passes
-    dict(ndir=4, mgm=4),                      # A + parity PB
     dict(ndir=8, mgm=4),                      # A+B + parity PA+PB
-    dict(ndir=8, mgm=4, use_weights=True),
-    dict(ndir=8, mgm=4, use_fh=True, p1=2.0, p2=50.0),
     # L > 128: the WTA kernel's label axis spans two LB=128 blocks
     # (the multi-block running min/argmin fold)
     dict(ndir=8, mgm=4, dmin=-126, dmax=8, H=12, W=21),
     dict(ndir=4, mgm=2, dmin=-126, dmax=8, H=12, W=21),
-]
+] + ([
+    dict(ndir=4, mgm=2, test_lr=False),
+    dict(ndir=4, mgm=3, use_weights=True),
+    dict(ndir=4, mgm=2, fix_overcount=False),
+    dict(ndir=4, mgm=2, dmin=-40, dmax=26),
+    dict(ndir=8, mgm=2, use_fh=True, p1=2.0, p2=50.0),
+    dict(ndir=8, mgm=1),                      # slope-1 A+B, all 8 passes
+    dict(ndir=4, mgm=4),                      # A + parity PB
+    dict(ndir=8, mgm=4, use_weights=True),
+    dict(ndir=8, mgm=4, use_fh=True, p1=2.0, p2=50.0),
+] if _FULL else [])
 
 
 @pytest.mark.parametrize("case", WTA_CASES,

@@ -5,6 +5,8 @@ race detection story (SURVEY.md section 5): the same solve executed over
 a 1-, 2-, 4- and 8-device row-sharded mesh must produce bitwise-equal
 disparities and costs.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -152,11 +154,15 @@ def test_sharded_fused_pipeline(rng, monkeypatch):
     u = rng.uniform(0, 50, (H, W, 1)).astype(np.float32)
     v = (np.roll(u, 3, axis=1)
          + rng.normal(0, 1, (H, W, 1)).astype(np.float32))
+    # each sharded interpret case costs MINUTES of XLA CPU compile, so
+    # the default run keeps one case per mechanism (A/B tracks,
+    # census+FH, per-pixel windows, V group, parity group) and
+    # MGM_TPU_FULL_TESTS=1 adds the mesh-size/feature cross products.
+    # (Folding more features into one case — pp+vfit together —
+    # produced a program the XLA CPU compiler aborts on.)
     cases = [
         (2, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=2, refinement="vfit",
                       median_radius=1, test_lr=True), None),
-        (4, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=3, a_p2=0.5,
-                      test_lr=True), None),
         (2, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=3, distance="census",
                       prefilter="census", use_trunc_linear=True, p1=2,
                       p2=100, test_lr=True), None),
@@ -167,25 +173,27 @@ def test_sharded_fused_pipeline(rng, monkeypatch):
         # round-3 eligibility crash lived exactly here
         (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=2, test_lr=True),
          None),
-        (4, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3, a_p2=0.5,
-                      refinement="vfit", test_lr=True), None),
-        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3, distance="census",
-                      prefilter="census", use_trunc_linear=True, p1=2,
-                      p2=100, test_lr=True), None),
-        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=2, test_lr=True),
-         "pp"),
         # mgm=4 routes passes 2/3/5/7 into the packed parity spaces:
         # round-4 run_p_group (lockstep half-row apron pipeline, both
-        # spaces in one launch); ndir=8 covers AB+V+parity together.
-        # Two cases only — each sharded interpret case costs minutes
-        # of XLA CPU compile, and folding more features into one case
-        # (pp+vfit together) produced a program the XLA CPU compiler
-        # aborts on
+        # spaces in one launch); ndir=8 covers AB+V+parity together
         (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4, test_lr=True),
          None),
-        (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4, test_lr=True),
-         "pp"),
     ]
+    if os.environ.get("MGM_TPU_FULL_TESTS"):
+        cases += [
+            (4, MGMConfig(dmin=-6, dmax=2, ndir=4, mgm=3, a_p2=0.5,
+                          test_lr=True), None),
+            (4, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3, a_p2=0.5,
+                          refinement="vfit", test_lr=True), None),
+            (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=3,
+                          distance="census", prefilter="census",
+                          use_trunc_linear=True, p1=2, p2=100,
+                          test_lr=True), None),
+            (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=2,
+                          test_lr=True), "pp"),
+            (2, MGMConfig(dmin=-6, dmax=2, ndir=8, mgm=4,
+                          test_lr=True), "pp"),
+        ]
     for n_dev, cfg, pp in cases:
         kw = {}
         if pp:
