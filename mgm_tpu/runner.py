@@ -130,8 +130,8 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         import jax.numpy as jnp
         from concurrent.futures import ThreadPoolExecutor
         from functools import partial
-        from .stereo import (_fetch_packed, _u8_lossless, _upload_form,
-                             compute_disparity_batch)
+        from .stereo import (_fetch_packed, _u8_lossless, _unpack_out,
+                             _upload_form, compute_disparity_batch)
 
         ctx_h = min(H, tile + 2 * margin)
         ctx_w = min(W, tile + 2 * margin + pad_l + pad_r)
@@ -230,7 +230,7 @@ def tiled_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
                             fetch_pool.submit(_fetch_packed, wins_dev)))
         stats["dispatch_done"] = _time.perf_counter() - t0
         for grp, anch, fut in pending:
-            wins = fut.result()
+            wins = _unpack_out(fut.result())
             for k, job in enumerate(grp):
                 y0, x0, y1, x1, cy0, cx0 = job[:6]
                 ay, ax = anch[k]

@@ -255,12 +255,74 @@ def _tighten(disp, flo, fhi, gmin, L):
 
 
 _I16_NAN = -32768  # NaN sentinel in packed integer disparities
+_I8_NAN = -128     # NaN sentinel in packed int8 disparities
+_COST_SCALE = 4    # fixed integer-cost wire scale (mgm in {1,2,4} | 4)
+
+
+def _pack_spec(cfg, nch: int, img_dtype, use_weights: bool):
+    """Static proof obligations for the integer output codec.
+
+    Returns (disp_dtype, cost_pack): the narrowest exact wire dtype
+    for disparities ("int8"/"int16"/None) and whether WTA costs are
+    provably integers of magnitude < 2^15/_COST_SCALE — in which case
+    they ship as int16 = cost * _COST_SCALE, bit-exactly.
+
+    The proof: with integer-valued images (uint8, or the census-exact
+    uint16 rank codes), integer P1·nch/P2·nch, unit weights and an
+    integer (or infinite) truncation, every CC entry is an integer,
+    and at mgm=1 the recursion (mgm_core.cc:66-144,152-281 semantics)
+    is min-plus over integers divided by k=1 — closed over Z; S and
+    the overcount-fixed WTA cost stay integers bounded by
+    ndir·(ccmax + P2·nch).  At mgm>=2 the ÷k COMPOUNDS along the scan
+    (Lr feeds the next front's messages), so denominators grow as
+    k^depth and the values are arbitrary float32: excluded, as are
+    BT distances (half-pixel interpolation), NCC and non-unit
+    weights."""
+    if (cfg.refinement != "none"
+            or os.environ.get("MGM_TPU_PACKOUT", "1") == "0"):
+        return None, False
+    m = max(abs(cfg.dmin), abs(cfg.dmax)) + 4 * cfg.iterations
+    disp_dtype = ("int8" if m <= 126
+                  else "int16" if m < 32000 else None)
+    cost_pack = False
+    if (np.dtype(img_dtype) in (np.uint8, np.uint16)
+            and cfg.mgm == 1 and not use_weights):
+        vmax = 255 if np.dtype(img_dtype) == np.uint8 else 65535
+        if cfg.distance == "ad":
+            ccmax = vmax * nch
+        elif cfg.distance == "sd":
+            ccmax = vmax * vmax * nch
+        elif cfg.distance == "census" and nch == 1:
+            ccmax = cfg.census_ncc_win ** 2
+        else:
+            ccmax = None
+        p1s, p2s = cfg.p1 * nch, cfg.p2 * nch
+        tmax = cfg.trunc_dist * nch
+        if ccmax is not None and np.isfinite(tmax):
+            ccmax = min(ccmax, tmax) if float(tmax).is_integer() else None
+        if (ccmax is not None
+                and float(p1s).is_integer() and float(p2s).is_integer()
+                and _COST_SCALE * cfg.ndir * (ccmax + p2s) < 32000):
+            cost_pack = True
+    return disp_dtype, cost_pack
+
+
+def _pk_disp(d, disp_dtype: str):
+    sent = _I8_NAN if disp_dtype == "int8" else _I16_NAN
+    return jnp.where(jnp.isnan(d), sent, d).astype(disp_dtype)
+
+
+def _pk_cost(c):
+    return jnp.where(jnp.isfinite(c), c * _COST_SCALE,
+                     _I16_NAN).astype(jnp.int16)
 
 
 @partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides",
-                                   "want_backflow", "pack_i16"))
-def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides,
-                 want_backflow, pack_i16=False):
+                                   "want_backflow", "disp_dtype",
+                                   "cost_pack"))
+def _postprocess(disp, cost, u, v, lr_tau, *, median_radius, test_lr,
+                 n_sides, want_backflow, disp_dtype=None,
+                 cost_pack=False):
     disp = post.median_filter(disp, radius=median_radius)
     disp_nolr = disp
     if n_sides == 2 and test_lr:
@@ -268,32 +330,42 @@ def _postprocess(disp, u, v, lr_tau, *, median_radius, test_lr, n_sides,
         d_r = post.leftright_test(disp[1], disp[0], lr_tau)
         disp = jnp.stack([d_l, d_r])
     back = post.backflow(disp[0], v, u) if want_backflow else None
-    if pack_i16:
+    if disp_dtype:
         # without subpixel refinement disparities are integers (+ NaN
-        # invalidations): ship them to the host as int16 with a NaN
-        # sentinel — device->host fetch is the dominant small-problem
-        # cost on remote-attached TPUs (tunnel at ~30-90 MB/s)
-        pk = lambda d: jnp.where(jnp.isnan(d), _I16_NAN,
-                                 d).astype(jnp.int16)
-        disp, disp_nolr = pk(disp), pk(disp_nolr)
-    return disp, disp_nolr, back
+        # invalidations): ship them to the host as narrow ints with a
+        # NaN sentinel — device->host fetch is the dominant
+        # small-problem cost on remote-attached TPUs
+        disp, disp_nolr = (_pk_disp(disp, disp_dtype),
+                           _pk_disp(disp_nolr, disp_dtype))
+    if cost_pack:
+        cost = _pk_cost(cost)
+    return disp, disp_nolr, cost, back
 
 
-def _unpack_i16(a: np.ndarray) -> np.ndarray:
-    """Host-side inverse of the _postprocess int16 packing."""
-    if a.dtype != np.int16:
+def _unpack_arr(k: str, a: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the integer output codec (key-driven:
+    'disp*' are sentinel-NaN integer disparities, 'cost*' are
+    _COST_SCALE-scaled integer costs)."""
+    if a.dtype not in (np.int8, np.int16):
         return a
+    sent = _I8_NAN if a.dtype == np.int8 else _I16_NAN
     f = a.astype(np.float32)
-    f[a == _I16_NAN] = np.nan
+    f[a == sent] = np.nan
+    if k.startswith("cost"):
+        f /= _COST_SCALE
     return f
+
+
+def _unpack_out(out: dict) -> dict:
+    return {k: _unpack_arr(k, a) for k, a in out.items()}
 
 
 @jax.jit
 def _pack_cat(*arrs):
     flat = []
     for a in arrs:
-        if a.dtype == jnp.float32:
-            a = jax.lax.bitcast_convert_type(a, jnp.int16)
+        if a.dtype != jnp.int8:
+            a = jax.lax.bitcast_convert_type(a, jnp.int8)
         flat.append(a.reshape(-1))
     return jnp.concatenate(flat)
 
@@ -351,26 +423,23 @@ def _fetch_buf(buf) -> np.ndarray:
 
 def _fetch_packed(out: dict) -> dict:
     """Fetch EVERY requested output in one device->host transfer:
-    float32 arrays are bitcast to int16 halves and all arrays flatten
-    into a single int16 buffer (remote-attached TPUs pay a 0.03-0.4 s
-    tunnel latency PER transferred array).  Bit-exact — NaNs and the
-    int16 disparity sentinel ride through the bitcast unchanged."""
+    all arrays bitcast to their bytes and flatten into a single int8
+    buffer (remote-attached TPUs pay a 0.03-0.4 s tunnel latency PER
+    transferred array).  Bit-exact — NaNs and the integer disparity
+    sentinels ride through the bitcast unchanged."""
     keys = sorted(out)
-    if any(out[k].dtype not in (jnp.float32, jnp.int16) for k in keys):
+    if any(out[k].dtype not in (jnp.float32, jnp.int16, jnp.int8)
+           for k in keys):
         return {k: np.asarray(a) for k, a in jax.device_get(out).items()}
     buf = _fetch_buf(_pack_cat(*[out[k] for k in keys]))
     res, off = {}, 0
     for k in keys:
         a = out[k]
-        n = int(np.prod(a.shape))
-        if a.dtype == jnp.float32:
-            seg = buf[off:off + 2 * n]
-            res[k] = np.frombuffer(seg.tobytes(),
-                                   np.float32).reshape(a.shape).copy()
-            off += 2 * n
-        else:
-            res[k] = np.array(buf[off:off + n]).reshape(a.shape)
-            off += n
+        dt = np.dtype(a.dtype)
+        nb = int(np.prod(a.shape)) * dt.itemsize
+        res[k] = np.frombuffer(buf[off:off + nb].tobytes(),
+                               dt).reshape(a.shape).copy()
+        off += nb
     return res
 
 
@@ -385,17 +454,23 @@ def _prep_fused_batch(us, vs, *, cfg: MGMConfig, n_sides: int):
     return up, vp, w8.reshape((K * n_sides,) + w8.shape[2:])
 
 
-@partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides"))
-def _postprocess_batch(disp, lr_tau, *, median_radius, test_lr,
-                       n_sides):
-    """Median + LR for (K*n_sides, H, W) pair-major disparity stacks."""
+@partial(jax.jit, static_argnames=("median_radius", "test_lr", "n_sides",
+                                   "disp_dtype", "cost_pack"))
+def _postprocess_batch(disp, cost, lr_tau, *, median_radius, test_lr,
+                       n_sides, disp_dtype=None, cost_pack=False):
+    """Median + LR for (K*n_sides, H, W) pair-major disparity stacks,
+    plus the integer output codec (_pack_spec)."""
     disp = post.median_filter(disp, radius=median_radius)
     if n_sides == 2 and test_lr:
         lr = jax.vmap(post.leftright_test, in_axes=(0, 0, None))
         d_l = lr(disp[0::2], disp[1::2], lr_tau)
         d_r = lr(disp[1::2], disp[0::2], lr_tau)
         disp = jnp.stack([d_l, d_r], 1).reshape(disp.shape)
-    return disp
+    if disp_dtype:
+        disp = _pk_disp(disp, disp_dtype)
+    if cost_pack:
+        cost = _pk_cost(cost)
+    return disp, cost
 
 
 def compute_disparity_batch(us, vs, cfg: MGMConfig,
@@ -475,14 +550,15 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
             outs.append({key: a[:max_k - npad] for key, a in o.items()})
         res = {key: jnp.concatenate([o[key] for o in outs])
                for key in outs[0]}
-        return res if device_out else _fetch_packed(res)
+        return res if device_out else _unpack_out(_fetch_packed(res))
     sides_pair = tuple((int(g), 0, int(L) - 1) for g in gmins)
     sides = sides_pair * K
     p1, p2 = cfg.p1 * C, cfg.p2 * C
 
     us_d = us if dev_in else jnp.asarray(_upload_form_batch(us, cfg))
     vs_d = vs if dev_in else jnp.asarray(_upload_form_batch(vs, cfg))
-    if np.dtype(us_d.dtype) == np.uint16:
+    wire_dtype = np.dtype(us_d.dtype)
+    if wire_dtype == np.uint16:
         us_d, vs_d = _decode16(us_d), _decode16(vs_d)
     up, vp, w8 = _prep_fused_batch(us_d, vs_d, cfg=cfg, n_sides=n_sides)
     use_weights = cfg.a_p2 != 1.0
@@ -508,9 +584,12 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     if want_S:
         disp, cost = _refine_taps(S, disp, cost, s_lo, s_hi, gmin_j,
                                   method=cfg.refinement)
-    disp = _postprocess_batch(disp, jnp.float32(cfg.lr_tau),
-                              median_radius=cfg.median_radius,
-                              test_lr=cfg.test_lr, n_sides=n_sides)
+    disp_dtype, cost_pack = _pack_spec(cfg, C, wire_dtype, use_weights)
+    disp, cost = _postprocess_batch(disp, cost, jnp.float32(cfg.lr_tau),
+                                    median_radius=cfg.median_radius,
+                                    test_lr=cfg.test_lr, n_sides=n_sides,
+                                    disp_dtype=disp_dtype,
+                                    cost_pack=cost_pack)
     out = {"disp": disp[0::n_sides], "cost": cost[0::n_sides]}
     if n_sides == 2:
         out["disp_right"] = disp[1::2]
@@ -518,7 +597,7 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     out = {k: a for k, a in out.items() if k in outputs}
     if device_out:
         return out
-    return _fetch_packed(out)
+    return _unpack_out(_fetch_packed(out))
 
 
 def _mark(tag, prof, x=None):
@@ -861,14 +940,14 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         disp = jnp.where(row_ok, disp, jnp.nan)
 
     want_back = outputs is None or "backflow" in outputs
-    pack_i16 = (cfg.refinement == "none"
-                and max(abs(cfg.dmin), abs(cfg.dmax)) + 4 * cfg.iterations
-                < 32000)
-    disp, disp_nolr, back = _postprocess(
-        disp, u_j, v_j, jnp.float32(cfg.lr_tau),
+    disp_dtype, cost_pack = _pack_spec(cfg, C, np.dtype(u_dev.dtype)
+                                       if not coded else np.uint16,
+                                       use_weights)
+    disp, disp_nolr, cost, back = _postprocess(
+        disp, cost, u_j, v_j, jnp.float32(cfg.lr_tau),
         median_radius=cfg.median_radius, test_lr=cfg.test_lr,
         n_sides=n_sides, want_backflow=want_back and not coded,
-        pack_i16=pack_i16)
+        disp_dtype=disp_dtype, cost_pack=cost_pack)
     _mark("postprocess", prof, (disp, disp_nolr))
 
     out = {"disp": disp[0], "cost": cost[0], "disp_nolr": disp_nolr[0]}
@@ -894,7 +973,7 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
         out = {k: np.asarray(a) for k, a in jax.device_get(out).items()}
     else:
         out = _fetch_packed(out)
-    out = {k: _unpack_i16(a) for k, a in out.items()}
+    out = _unpack_out(out)
     if hpad:
         out = {k: a[:H] for k, a in out.items()}  # drop the fake rows
     if want_back and coded:

@@ -118,3 +118,76 @@ def test_fetch_buf_chunked_bit_exact():
     host = rng.integers(-2**15, 2**15, size=3_000_017).astype(np.int16)
     buf = jnp.asarray(host)
     np.testing.assert_array_equal(_fetch_buf(buf), host)
+
+
+# ---- integer OUTPUT codec (stereo._pack_spec and friends) ----------------
+
+def test_pack_spec_gates():
+    """The static proof obligations of the integer output codec
+    (values dyadic with denominator | _COST_SCALE, bounded): AD on
+    uint8 with integer P1/P2 and mgm in {1,2,4} packs; mgm=3 (thirds),
+    refined, weighted, float-image and BT configs must not."""
+    from mgm_tpu.stereo import _pack_spec
+
+    cfg = get_preset("fast_ad", dmin=-120, dmax=30)  # mgm=2, no refine
+    assert _pack_spec(cfg, 3, np.uint8, False) == ("int8", False)
+    sgm = get_preset("fast_ad", mgm=1)  # plain SGM: ÷k never compounds
+    assert _pack_spec(sgm, 3, np.uint8, False) == ("int8", True)
+    assert _pack_spec(sgm, 3, np.uint8, True)[1] is False  # weights
+    assert _pack_spec(sgm, 3, np.float32, False)[1] is False
+    ref = get_preset("fast_ad", mgm=1, refinement="vfit")
+    assert _pack_spec(ref, 3, np.uint8, False) == (None, False)
+    bt = get_preset("fast_ad", mgm=1, distance="btad")
+    assert _pack_spec(bt, 3, np.uint8, False)[1] is False  # half-pixels
+    wide = get_preset("fast_ad", dmin=-300, dmax=30)
+    assert _pack_spec(wide, 3, np.uint8, False)[0] == "int16"
+    frac = get_preset("fast_ad", mgm=1, p1=2.5)  # 2.5*3 not integral
+    assert _pack_spec(frac, 3, np.uint8, False)[1] is False
+    assert _pack_spec(frac, 2, np.uint8, False)[1] is True  # 2.5*2 = 5
+
+
+def test_output_codec_bit_identical(monkeypatch):
+    """End-to-end equality of the packed-integer output wire form
+    against the raw float32 fetch on a fountain23 crop (uint8 images,
+    AD, mgm=2: disparities ship as int8, costs as int16 = 4*cost)."""
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import _pack_spec
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[:56, :64]
+    v = read_image("/root/reference/data/fountain23-imR.png")[:56, :64]
+    u, v = u.astype(np.uint8), v.astype(np.uint8)
+    for mgm, want in ((1, ("int8", True)), (2, ("int8", False))):
+        cfg = get_preset("fast_ad", dmin=-12, dmax=4, mgm=mgm)
+        assert _pack_spec(cfg, 3, np.uint8, False) == want
+        monkeypatch.setenv("MGM_TPU_PACKOUT", "0")
+        raw = compute_disparity(u, v, cfg)
+        monkeypatch.setenv("MGM_TPU_PACKOUT", "1")
+        packed = compute_disparity(u, v, cfg)
+        assert set(raw) == set(packed)
+        for k in raw:
+            assert packed[k].dtype == np.float32, k
+            np.testing.assert_array_equal(raw[k], packed[k], err_msg=k)
+        assert np.isnan(packed["disp"]).any()  # LR invalidations survive
+
+
+def test_output_codec_batch_bit_identical(monkeypatch):
+    """Same equality through compute_disparity_batch (the serving /
+    scene-tile path packs in _postprocess_batch)."""
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import compute_disparity_batch
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[:48, :56]
+    v = read_image("/root/reference/data/fountain23-imR.png")[:48, :56]
+    us = np.stack([u, v]).astype(np.uint8)   # two distinct "pairs"
+    vs = np.stack([v, u]).astype(np.uint8)
+    cfg = get_preset("fast_ad", dmin=-8, dmax=4)
+    # opt the CPU test into the fused batch path (Pallas interpreter)
+    # so _postprocess_batch's packing actually runs
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    monkeypatch.setenv("MGM_TPU_PACKOUT", "0")
+    raw = compute_disparity_batch(us, vs, cfg)
+    monkeypatch.setenv("MGM_TPU_PACKOUT", "1")
+    packed = compute_disparity_batch(us, vs, cfg)
+    for k in raw:
+        assert packed[k].dtype == np.float32, k
+        np.testing.assert_array_equal(raw[k], packed[k], err_msg=k)

@@ -41,11 +41,15 @@ def test_fetch_packed_bit_exact(rng):
     b = rng.integers(-100, 100, (5, 3)).astype(np.int16)
     b[0, 0] = _I16_NAN
     c = rng.normal(0, 1, (2, 4, 3)).astype(np.float32)  # 3-D (backflow)
+    d = rng.integers(-128, 128, (9, 5)).astype(np.int8)  # packed disp
     out = _fetch_packed({"cost": jnp.asarray(a), "disp": jnp.asarray(b),
-                         "backflow": jnp.asarray(c)})
+                         "backflow": jnp.asarray(c),
+                         "disp_nolr": jnp.asarray(d)})
     np.testing.assert_array_equal(out["cost"], a)
     np.testing.assert_array_equal(out["disp"], b)
     np.testing.assert_array_equal(out["backflow"], c)
+    np.testing.assert_array_equal(out["disp_nolr"], d)
     assert out["cost"].dtype == np.float32
     assert out["disp"].dtype == np.int16
+    assert out["disp_nolr"].dtype == np.int8
     out["cost"][0, 0] = 0.0  # unpacked arrays must be writable
