@@ -245,6 +245,26 @@ def _const_arrays(*, H, W, los, his, flos, fhis, gmins):
     return lo, hi, flo, fhi, jnp.asarray(gmins, jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("n_sides", "gmin_l", "gmin_r",
+                                   "dmin", "dmax"))
+def _pp_expand(flo, fhi, *, n_sides, gmin_l, gmin_r, dmin, dmax):
+    """Expand the left side's per-pixel float windows (the only
+    per-pixel wire payload) into the pipeline's stacked window arrays
+    on device: integer S-window indices by truncation toward zero
+    (Dvec init, dvec.cc:49-60) plus the constant right-side planes
+    over the negated global range (mgm.cc:368)."""
+    lo = [flo.astype(jnp.int32) - gmin_l]
+    hi = [fhi.astype(jnp.int32) - gmin_l]
+    flos, fhis = [flo], [fhi]
+    if n_sides == 2:
+        lo.append(jnp.full(flo.shape, -dmax - gmin_r, jnp.int32))
+        hi.append(jnp.full(flo.shape, -dmin - gmin_r, jnp.int32))
+        flos.append(jnp.full(flo.shape, float(-dmax), jnp.float32))
+        fhis.append(jnp.full(flo.shape, float(-dmin), jnp.float32))
+    return (jnp.stack(lo), jnp.stack(hi), jnp.stack(flos),
+            jnp.stack(fhis))
+
+
 @jax.jit
 def _tighten(disp, flo, fhi, gmin, L):
     """update_dmin_dmax between iterations -> new S windows."""
@@ -703,7 +723,21 @@ def compute_disparity(u: np.ndarray, v: np.ndarray, cfg: MGMConfig,
     # images can produce all-ones weights even with a_p2 != 1.
     use_weights = cfg.a_p2 != 1.0
 
-    if per_pixel:
+    if per_pixel and mesh is None:
+        # upload ONLY the left side's two float planes (the actual
+        # per-pixel payload) and expand the stacked window arrays on
+        # device: the right side's planes are constants (mgm.cc:368)
+        # and the integer S-indices are casts — shipping them all
+        # pre-built cost 4 full-size arrays x n_sides of wire (~22 MB
+        # at fountain scale vs 2.8 MB for the payload)
+        lo_idx, hi_idx, flo_j, fhi_j = _pp_expand(
+            jnp.asarray(flo), jnp.asarray(fhi), n_sides=n_sides,
+            gmin_l=gmin_l,
+            gmin_r=int(gmin[1]) if n_sides == 2 else 0,
+            dmin=cfg.dmin, dmax=cfg.dmax)
+    elif per_pixel:
+        # mesh path: arrays must exist on host for the multi-host
+        # make_array_from_callback sharding (_shard below)
         lo_idx = [lo_i - gmin_l]
         hi_idx = [hi_i - gmin_l]
         if n_sides == 2:
