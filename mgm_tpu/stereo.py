@@ -556,21 +556,39 @@ def compute_disparity_batch(us, vs, cfg: MGMConfig,
     if K > max_k:
         xp = jnp if dev_in else np
         outs = []
+        futs = []
+        pool = None
+        if not device_out:
+            # STREAM the chunks: fetch chunk i on a worker thread
+            # (one packed transfer per chunk) while chunk i+1 uploads
+            # and computes — upload, compute and fetch overlap over
+            # the tunnel's duplex links, so the wall approaches
+            # max(upload, fetch) instead of their sum.  A dedicated
+            # pool: _fetch_buf fans out on the shared _FETCH_POOL,
+            # and nesting its callers into the same pool can deadlock.
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=2)
         for i in range(0, K, max_k):
             cu, cv = us[i:i + max_k], vs[i:i + max_k]
             npad = max_k - cu.shape[0]
             if npad:  # repeat the last pair: one compiled shape
                 cu = xp.concatenate([cu, xp.repeat(cu[-1:], npad, 0)])
                 cv = xp.concatenate([cv, xp.repeat(cv[-1:], npad, 0)])
-            # chunks stay on device: every chunk's compute is
-            # dispatched (async) before any device->host transfer, and
-            # the host fetch is ONE packed parallel-chunk transfer
             o = compute_disparity_batch(cu, cv, cfg, outputs=outputs,
                                         device_out=True)
-            outs.append({key: a[:max_k - npad] for key, a in o.items()})
-        res = {key: jnp.concatenate([o[key] for o in outs])
-               for key in outs[0]}
-        return res if device_out else _unpack_out(_fetch_packed(res))
+            o = {key: a[:max_k - npad] for key, a in o.items()}
+            if device_out:
+                outs.append(o)
+            else:
+                futs.append(pool.submit(_fetch_packed, o))
+        if device_out:
+            return {key: jnp.concatenate([o[key] for o in outs])
+                    for key in outs[0]}
+        parts = [f.result() for f in futs]
+        pool.shutdown()
+        return _unpack_out(
+            {key: np.concatenate([p[key] for p in parts])
+             for key in parts[0]})
     sides_pair = tuple((int(g), 0, int(L) - 1) for g in gmins)
     sides = sides_pair * K
     p1, p2 = cfg.p1 * C, cfg.p2 * C

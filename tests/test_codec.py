@@ -123,10 +123,11 @@ def test_fetch_buf_chunked_bit_exact():
 # ---- integer OUTPUT codec (stereo._pack_spec and friends) ----------------
 
 def test_pack_spec_gates():
-    """The static proof obligations of the integer output codec
-    (values dyadic with denominator | _COST_SCALE, bounded): AD on
-    uint8 with integer P1/P2 and mgm in {1,2,4} packs; mgm=3 (thirds),
-    refined, weighted, float-image and BT configs must not."""
+    """The static proof obligations of the integer output codec:
+    integer disparities always pack; costs pack ONLY at mgm=1 (AD on
+    uint8, integer P1/P2) — at mgm>=2 the /k compounds per front and
+    the values leave every fixed-denominator lattice.  Refined,
+    weighted, float-image and BT configs must not pack costs."""
     from mgm_tpu.stereo import _pack_spec
 
     cfg = get_preset("fast_ad", dmin=-120, dmax=30)  # mgm=2, no refine
@@ -191,3 +192,23 @@ def test_output_codec_batch_bit_identical(monkeypatch):
     for k in raw:
         assert packed[k].dtype == np.float32, k
         np.testing.assert_array_equal(raw[k], packed[k], err_msg=k)
+
+
+def test_batch_chunked_streaming_matches(monkeypatch):
+    """The VMEM-chunked batch path (K > max_k) with its streamed
+    per-chunk fetches must equal the unchunked batch run exactly."""
+    from mgm_tpu.io import read_image
+    from mgm_tpu.stereo import compute_disparity_batch
+
+    u = read_image("/root/reference/data/fountain23-imL.png")[:40, :48]
+    v = read_image("/root/reference/data/fountain23-imR.png")[:40, :48]
+    us = np.stack([u, v, u]).astype(np.uint8)
+    vs = np.stack([v, u, v]).astype(np.uint8)
+    cfg = get_preset("fast_ad", dmin=-6, dmax=3)
+    monkeypatch.setenv("MGM_TPU_FUSED", "interpret")
+    whole = compute_disparity_batch(us, vs, cfg)
+    monkeypatch.setenv("MGM_TPU_BATCH_K", "2")  # force 2 chunks + pad
+    chunked = compute_disparity_batch(us, vs, cfg)
+    for k in whole:
+        assert chunked[k].dtype == np.float32, k
+        np.testing.assert_array_equal(whole[k], chunked[k], err_msg=k)
